@@ -1,0 +1,8 @@
+"""Test configuration: run all tests on CPU with 8 virtual devices so the
+multi-chip sharding path is exercised without a TPU pod (SURVEY.md §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
