@@ -1,0 +1,343 @@
+"""secp256k1 group ops, limb-vectorized for TPU (JAX).
+
+Replaces the k256 crate's `ProjectivePoint`/`AffinePoint` engines
+(SURVEY.md §2 row 11; reference call sites all over /root/reference/src)
+with a batched, branch-free execution model: a point is a `PointJ` pytree
+of Jacobian coordinates, each a (16, *batch) uint32 limb array (see
+`bppp_tpu.ops.field` for the limb convention). z == 0 encodes the
+identity. All exceptional cases (identity operands, doubling collision,
+P + (-P)) are handled with lane masks — TPUs have no branches.
+
+Layout convention for vectors of points: coordinates shaped
+(16, L, *batch) — the length axis rides in the batch dims so every group
+op below vectorizes over (points x proofs) lanes simultaneously.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle import curve as oc
+from ..oracle.field import B as B_INT
+from . import field as f
+
+
+class PointJ(NamedTuple):
+    """Jacobian point, limb-major; z == 0 <=> identity."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    @property
+    def batch(self):
+        return self.x.shape[1:]
+
+
+B7 = f.int_to_limbs(B_INT)  # curve b = 7
+
+
+def _sel(mask, a, b):
+    """mask: (*batch,) bool -> limbwise select."""
+    return jnp.where(mask[None], a, b)
+
+
+def pt_select(mask, a: PointJ, b: PointJ) -> PointJ:
+    return PointJ(_sel(mask, a.x, b.x), _sel(mask, a.y, b.y), _sel(mask, a.z, b.z))
+
+
+def identity(batch=()) -> PointJ:
+    z16 = jnp.zeros((16,) + tuple(batch), dtype=jnp.uint32)
+    one = z16.at[0].set(1)
+    return PointJ(z16, one, z16)
+
+
+def generator(batch=()) -> PointJ:
+    return from_int_points([oc.GENERATOR], batch=batch, squeeze=True)
+
+
+def from_int_points(pts, batch=(), squeeze=False) -> PointJ:
+    """Host: list of oracle Points -> PointJ with coords (16, L, *batch).
+
+    With squeeze=True and one point, coords are (16, *batch)."""
+    xs, ys, zs = [], [], []
+    for p in pts:
+        xs.append(p.x)
+        ys.append(p.y)
+        zs.append(p.z)
+    def lift(vals):
+        arr = f.ints_to_limbs(vals)  # (16, L)
+        a = jnp.asarray(arr)
+        if squeeze and len(pts) == 1:
+            a = a[:, 0]
+            return jnp.broadcast_to(a.reshape((16,) + (1,) * len(batch)), (16,) + tuple(batch))
+        return jnp.broadcast_to(
+            a.reshape((16, len(pts)) + (1,) * len(batch)),
+            (16, len(pts)) + tuple(batch),
+        )
+    return PointJ(lift(xs), lift(ys), lift(zs))
+
+
+def to_int_points(p: PointJ) -> list[oc.Point]:
+    """Host: PointJ with coords (16, L) -> list of oracle Points."""
+    xs = f.limbs_to_ints(np.asarray(p.x).reshape(16, -1))
+    ys = f.limbs_to_ints(np.asarray(p.y).reshape(16, -1))
+    zs = f.limbs_to_ints(np.asarray(p.z).reshape(16, -1))
+    return [oc.Point(x, y, z) for x, y, z in zip(xs, ys, zs)]
+
+
+def pt_is_identity(p: PointJ):
+    return f.fp_is_zero(p.z)
+
+
+def pt_neg(p: PointJ) -> PointJ:
+    return PointJ(p.x, f.fp_neg(p.y), p.z)
+
+
+def pt_double(p: PointJ) -> PointJ:
+    """dbl-2009-l (a=0). Complete for identity/order-2 inputs: Z3 = 2YZ
+    vanishes exactly when the oracle (curve.py:double) returns IDENTITY."""
+    X, Y, Z = p
+    A = f.fp_sqr(X)
+    Bb = f.fp_sqr(Y)
+    C = f.fp_sqr(Bb)
+    t = f.fp_add(X, Bb)
+    D = f.fp_sub(f.fp_sub(f.fp_sqr(t), A), C)
+    D = f.fp_add(D, D)
+    E = f.fp_add(f.fp_add(A, A), A)
+    F = f.fp_sqr(E)
+    X3 = f.fp_sub(F, f.fp_add(D, D))
+    C8 = f.fp_add(C, C)
+    C8 = f.fp_add(C8, C8)
+    C8 = f.fp_add(C8, C8)
+    Y3 = f.fp_sub(f.fp_mul(E, f.fp_sub(D, X3)), C8)
+    Z3 = f.fp_mul(f.fp_add(Y, Y), Z)
+    return PointJ(X3, Y3, Z3)
+
+
+def pt_add(p: PointJ, q: PointJ) -> PointJ:
+    """Complete masked Jacobian add (add-2007-bl shape, matching the
+    oracle's curve.py:add): generic path + lane-mask fixups for
+    p==identity, q==identity, doubling collision (H==0, r==0) and
+    inverse collision (H==0, r!=0)."""
+    Z1Z1 = f.fp_sqr(p.z)
+    Z2Z2 = f.fp_sqr(q.z)
+    U1 = f.fp_mul(p.x, Z2Z2)
+    U2 = f.fp_mul(q.x, Z1Z1)
+    S1 = f.fp_mul(p.y, f.fp_mul(q.z, Z2Z2))
+    S2 = f.fp_mul(q.y, f.fp_mul(p.z, Z1Z1))
+    H = f.fp_sub(U2, U1)
+    r = f.fp_sub(S2, S1)
+    HH = f.fp_sqr(H)
+    HHH = f.fp_mul(H, HH)
+    V = f.fp_mul(U1, HH)
+    rr = f.fp_sqr(r)
+    X3 = f.fp_sub(f.fp_sub(rr, HHH), f.fp_add(V, V))
+    Y3 = f.fp_sub(f.fp_mul(r, f.fp_sub(V, X3)), f.fp_mul(S1, HHH))
+    Z3 = f.fp_mul(f.fp_mul(p.z, q.z), H)
+    out = PointJ(X3, Y3, Z3)
+
+    h_zero = f.fp_is_zero(H)
+    r_zero = f.fp_is_zero(r)
+    p_id = pt_is_identity(p)
+    q_id = pt_is_identity(q)
+    neither_id = jnp.logical_not(jnp.logical_or(p_id, q_id))
+
+    # doubling collision: same x AND same y
+    dbl = pt_double(p)
+    out = pt_select(jnp.logical_and(neither_id, jnp.logical_and(h_zero, r_zero)), dbl, out)
+    # inverse collision: same x, different y -> identity (Z3 = z1 z2 H = 0
+    # already, but force canonical identity lanes anyway)
+    inv_mask = jnp.logical_and(neither_id, jnp.logical_and(h_zero, jnp.logical_not(r_zero)))
+    out = pt_select(inv_mask, identity(p.batch), out)
+    out = pt_select(q_id, p, out)
+    out = pt_select(p_id, q, out)
+    return out
+
+
+def pt_add_mixed(p: PointJ, qx, qy, q_id=None) -> PointJ:
+    """p (Jacobian) + q (affine, z=1 implied) — madd-2007-bl shape, saves
+    the Z2Z2/S1 scalings. q_id: optional (*batch,) bool marking identity
+    lanes of q. Used for fixed-base table accumulation where q is a
+    precomputed affine table entry."""
+    Z1Z1 = f.fp_sqr(p.z)
+    U2 = f.fp_mul(qx, Z1Z1)
+    S2 = f.fp_mul(qy, f.fp_mul(p.z, Z1Z1))
+    H = f.fp_sub(U2, p.x)
+    r = f.fp_sub(S2, p.y)
+    HH = f.fp_sqr(H)
+    HHH = f.fp_mul(H, HH)
+    V = f.fp_mul(p.x, HH)
+    rr = f.fp_sqr(r)
+    X3 = f.fp_sub(f.fp_sub(rr, HHH), f.fp_add(V, V))
+    Y3 = f.fp_sub(f.fp_mul(r, f.fp_sub(V, X3)), f.fp_mul(p.y, HHH))
+    Z3 = f.fp_mul(p.z, H)
+    out = PointJ(X3, Y3, Z3)
+
+    h_zero = f.fp_is_zero(H)
+    r_zero = f.fp_is_zero(r)
+    p_id = pt_is_identity(p)
+    dbl_mask = jnp.logical_and(jnp.logical_not(p_id), jnp.logical_and(h_zero, r_zero))
+    out = pt_select(dbl_mask, pt_double(p), out)
+    inv_mask = jnp.logical_and(jnp.logical_not(p_id), jnp.logical_and(h_zero, jnp.logical_not(r_zero)))
+    out = pt_select(inv_mask, identity(p.batch), out)
+    q_pt = PointJ(qx, qy, jnp.broadcast_to(identity(p.batch).y, qx.shape))
+    out = pt_select(p_id, q_pt, out)
+    if q_id is not None:
+        out = pt_select(q_id, p, out)
+    return out
+
+
+def pt_scalar_mul(p: PointJ, k) -> PointJ:
+    """[k]p, 4-bit fixed windows, branch-free.
+
+    k: (16, *batch) canonical F_n limbs. 64 windows MSB->LSB; per window
+    4 doubles + one masked-select table add. Replaces k256's per-point
+    ladder inside every `vector_mul` MSM (SURVEY.md §2 row 15)."""
+    import jax
+
+    # table[d] = [d]p, d = 0..15: 14 sequential adds inside a scan so the
+    # compiled graph holds ONE pt_add body, not 14 (XLA compile time is
+    # ~0.5 ms/eqn; every unrolled point op is ~10k eqns).
+    def tab_body(acc, _):
+        nxt = pt_add(acc, p)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(tab_body, p, None, length=14)  # [2]p .. [15]p
+    tab = PointJ(
+        *(
+            jnp.concatenate([jnp.stack([i0, c1], axis=0), cr], axis=0)
+            for i0, c1, cr in zip(identity(p.batch), p, rest)
+        )
+    )  # (16, 16, *batch)
+
+    # all 64 nibbles, MSB first: digits (64, *batch)
+    digits = jnp.stack(
+        [(k[w // 4] >> (4 * (w % 4))) & 15 for w in range(63, -1, -1)], axis=0
+    )
+
+    def body(acc, digit):
+        for _ in range(4):
+            acc = pt_double(acc)
+        # branchless table pick: sum of masked entries (no gather — XLA
+        # gathers are slow to compile and lane-hostile on TPU)
+        onehot = jnp.stack(
+            [(digit == d).astype(jnp.uint32) for d in range(16)], axis=0
+        )  # (16, *batch)
+        sel = PointJ(
+            *(jnp.sum(c * onehot[:, None], axis=0) for c in tab)
+        )
+        return pt_add(acc, sel), None
+
+    acc, _ = jax.lax.scan(body, identity(p.batch), digits)
+    return acc
+
+
+def pt_sum(p: PointJ, axis: int = 1) -> PointJ:
+    """Reduce a points axis (default axis 1 of (16, L, *batch)) to a
+    single point: scan over pairwise-folding levels with a fixed padded
+    width so ONE pt_add body is compiled regardless of L. Identity
+    padding makes the extra lanes inert."""
+    import jax
+
+    if axis != 1:
+        p = PointJ(*(jnp.moveaxis(c, axis, 1) for c in p))
+    L = p.x.shape[1]
+    if L == 1:
+        return PointJ(*(jnp.squeeze(c, axis=1) for c in p))
+    # One pairwise fold (halves the sequential adds), then a fori_loop
+    # accumulation whose single pt_add body keeps the compiled graph small.
+    half = L // 2
+    s = pt_add(
+        PointJ(*(c[:, :half] for c in p)),
+        PointJ(*(c[:, half : 2 * half] for c in p)),
+    )
+    if L % 2:
+        s = PointJ(
+            *(jnp.concatenate([a, b[:, 2 * half :]], axis=1) for a, b in zip(s, p))
+        )
+    M = s.x.shape[1]
+
+    def body(i, acc):
+        q = PointJ(
+            *(
+                jax.lax.dynamic_index_in_dim(c, i, axis=1, keepdims=False)
+                for c in s
+            )
+        )
+        return pt_add(acc, q)
+
+    first = PointJ(*(c[:, 0] for c in s))
+    return jax.lax.fori_loop(1, M, body, first)
+
+
+def msm(points: PointJ, scalars) -> PointJ:
+    """Multi-scalar multiplication: sum_i [s_i] P_i.
+
+    points: coords (16, L, *batch); scalars: (16, L, *batch) F_n limbs.
+    The scalar ladders run simultaneously across the L axis (it lives in
+    the batch lanes), then one tree reduction. This is the TPU
+    replacement for the reference's naive per-term loop (util.rs:46-60)."""
+    return pt_sum(pt_scalar_mul(points, scalars), axis=1)
+
+
+def to_affine(p: PointJ):
+    """-> (x_aff, y_aff, is_id). Identity lanes yield (0, 0, True);
+    fp_inv(0) = 0 under the Fermat ladder so no masking is needed before
+    the inversion."""
+    is_id = pt_is_identity(p)
+    zi = f.fp_inv(p.z)
+    zi2 = f.fp_sqr(zi)
+    x = f.fp_mul(p.x, zi2)
+    y = f.fp_mul(p.y, f.fp_mul(zi2, zi))
+    x = _sel(is_id, jnp.zeros_like(x), x)
+    y = _sel(is_id, jnp.zeros_like(y), y)
+    return x, y, is_id
+
+
+def compress(p: PointJ):
+    """SEC1 compressed encoding -> (33, *batch) uint32 byte array.
+
+    Matches the oracle (curve.py:to_bytes) / k256 `to_bytes()`
+    (reference transcript.rs:7): 0x02 | (y & 1) prefix + BE x;
+    identity -> 33 zero bytes."""
+    x, y, is_id = to_affine(p)
+    xb = f.limbs_to_be_bytes(x)  # (32, *batch)
+    tag = jnp.where(is_id, jnp.uint32(0), jnp.uint32(2) + (y[0] & 1))
+    xb = jnp.where(is_id[None], jnp.zeros_like(xb), xb)
+    return jnp.concatenate([tag[None], xb], axis=0)
+
+
+def decompress(b) -> PointJ:
+    """(33, *batch) SEC1 bytes -> PointJ. All-zero lanes -> identity.
+    Assumes well-formed input (proof deserialization validates on host)."""
+    tag = b[0]
+    x = f.be_bytes_to_limbs(b[1:])
+    rhs = f.fp_add(f.fp_mul(f.fp_sqr(x), x), f._const(B7, x.ndim))
+    y = f.fp_sqrt(rhs)
+    flip = (y[0] & 1) != (tag & 1)
+    y = _sel(flip, f.fp_neg(y), y)
+    is_id = jnp.all(b == 0, axis=0)
+    one = jnp.zeros_like(x).at[0].set(1)
+    z = _sel(is_id, jnp.zeros_like(x), one)
+    y = _sel(is_id, one, y)
+    return PointJ(x, y, z)
+
+
+def pt_eq(p: PointJ, q: PointJ):
+    """Projective equality mask, as k256 PartialEq (oracle curve.py:eq)."""
+    Z1Z1 = f.fp_sqr(p.z)
+    Z2Z2 = f.fp_sqr(q.z)
+    x_eq = jnp.all(f.fp_mul(p.x, Z2Z2) == f.fp_mul(q.x, Z1Z1), axis=0)
+    y_eq = jnp.all(
+        f.fp_mul(p.y, f.fp_mul(q.z, Z2Z2)) == f.fp_mul(q.y, f.fp_mul(p.z, Z1Z1)),
+        axis=0,
+    )
+    p_id = pt_is_identity(p)
+    q_id = pt_is_identity(q)
+    both = jnp.logical_and(x_eq, y_eq)
+    either_id = jnp.logical_or(p_id, q_id)
+    return jnp.where(either_id, p_id == q_id, jnp.logical_and(both, jnp.logical_not(either_id)))

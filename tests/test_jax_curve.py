@@ -1,0 +1,102 @@
+"""JAX masked curve ops vs the host oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bppp_tpu.oracle import curve as ocurve
+from bppp_tpu.oracle import field as hf
+from bppp_tpu.ops import curve as jc
+from bppp_tpu.ops import field as jf
+
+rng = np.random.default_rng(77)
+
+
+def rand_scalar():
+    return int.from_bytes(rng.bytes(40), "big") % hf.N
+
+
+def rand_points(k):
+    return [ocurve.GENERATOR.mul(rand_scalar()) for k_ in range(k)]
+
+
+def as_pointj(pts):
+    return jc.from_int_points(pts)
+
+
+def test_double_add_vs_oracle():
+    pts = rand_points(6)
+    qts = rand_points(6)
+    # exceptional lanes: identity op, doubling collision, inverse collision
+    pts += [ocurve.IDENTITY, pts[0], pts[1], pts[2]]
+    qts += [qts[0], ocurve.IDENTITY, pts[1], pts[2].neg()]
+    P, Q = as_pointj(pts), as_pointj(qts)
+    got_d = jc.to_int_points(jax.jit(jc.pt_double)(P))
+    got_a = jc.to_int_points(jax.jit(jc.pt_add)(P, Q))
+    for g, p in zip(got_d, pts):
+        assert g.eq(p.double())
+    for g, p, q in zip(got_a, pts, qts):
+        assert g.eq(p.add(q))
+
+
+def test_add_mixed():
+    pts = rand_points(5) + [ocurve.IDENTITY]
+    qts = rand_points(5) + [rand_points(1)[0]]
+    qaff = [q.to_affine() for q in qts]
+    P = as_pointj(pts)
+    qx = jnp.asarray(jf.ints_to_limbs([a[0] for a in qaff]))
+    qy = jnp.asarray(jf.ints_to_limbs([a[1] for a in qaff]))
+    got = jc.to_int_points(jax.jit(jc.pt_add_mixed)(P, qx, qy))
+    for g, p, q in zip(got, pts, qts):
+        assert g.eq(p.add(q))
+
+
+def test_scalar_mul():
+    pts = rand_points(4) + [ocurve.IDENTITY]
+    ks = [rand_scalar() for _ in range(3)] + [0, 1]
+    P = as_pointj(pts)
+    K = jnp.asarray(jf.ints_to_limbs(ks))
+    got = jc.to_int_points(jax.jit(jc.pt_scalar_mul)(P, K))
+    for g, p, k in zip(got, pts, ks):
+        assert g.eq(p.mul(k))
+
+
+def test_msm_vs_oracle():
+    L = 7
+    pts = rand_points(L)
+    ks = [rand_scalar() for _ in range(L)]
+    P = as_pointj(pts)
+    K = jnp.asarray(jf.ints_to_limbs(ks))[:, :, None]  # (16, L, B=1)
+    got = jc.to_int_points(
+        jax.jit(jc.msm)(jc.PointJ(P.x[..., None], P.y[..., None], P.z[..., None]), K)
+    )[0]
+    want = ocurve.IDENTITY
+    for p, k in zip(pts, ks):
+        want = want.add(p.mul(k))
+    assert got.eq(want)
+
+
+def test_compress_decompress():
+    pts = rand_points(6) + [ocurve.IDENTITY]
+    P = as_pointj(pts)
+    b = np.asarray(jax.jit(jc.compress)(P))
+    for j, p in enumerate(pts):
+        assert bytes(b[:, j].astype(np.uint8).tolist()) == p.to_bytes()
+    back = jc.to_int_points(jax.jit(jc.decompress)(jnp.asarray(b)))
+    for g, p in zip(back, pts):
+        assert g.eq(p)
+
+
+def test_pt_eq_mask():
+    pts = rand_points(3)
+    a = as_pointj([pts[0], pts[1], ocurve.IDENTITY, pts[2]])
+    # same points with different Z (scale by 2): (X*4, Y*8, Z*2)
+    def rescale(p):
+        return ocurve.Point(
+            hf.fp_mul(p.x, 4), hf.fp_mul(p.y, 8), hf.fp_mul(p.z, 2)
+        )
+    b = as_pointj([rescale(pts[0]), pts[2], ocurve.IDENTITY, ocurve.IDENTITY])
+    m = np.asarray(jax.jit(jc.pt_eq)(a, b))
+    assert m.tolist() == [True, False, True, False]
