@@ -344,12 +344,16 @@ def _pow_const(x, e: int, mul):
     digits = jnp.asarray(
         [(e >> (4 * (ndig - 1 - i))) & 15 for i in range(ndig)], dtype=jnp.uint32
     )
-    # table[d] = x^d, with x^0 = 1 so the scan body is branch-free.
+    # table[d] = x^d, with x^0 = 1 so the scan body is branch-free; built
+    # under a scan so only ONE mul body is traced/compiled.
     one = jnp.zeros_like(x).at[0].set(1)
-    tab = [one, x]
-    for d in range(2, 16):
-        tab.append(mul(tab[d - 1], x))
-    tab = jnp.stack(tab, axis=0)  # (16, 16, *batch)
+
+    def tab_body(acc, _):
+        nxt = mul(acc, x)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(tab_body, x, None, length=14)  # x^2 .. x^15
+    tab = jnp.concatenate([jnp.stack([one, x], axis=0), rest], axis=0)
 
     def body(acc, d):
         for _ in range(4):

@@ -1,0 +1,275 @@
+"""Weight-norm linear argument on device (JAX), batched over proofs.
+
+Protocol semantics: /root/reference/src/wnla.rs (see oracle/wnla.py for
+the host twin). TPU-first structural changes, none of which alter a
+single transcript byte:
+
+  * The recursion depth is a static function of (|l|, |n|) — it is
+    unrolled at trace time; the compiled graph is a fixed 4-level (for
+    u64 dims) pipeline of fused fold+MSM stages.
+  * X and R per level are computed by ONE stacked MSM (the point/scalar
+    lists are padded to a common length and stacked on an extra lane
+    axis) so the window ladder runs once per level.
+  * rho^-1 / mu^-1 per level come from a single pair of Fermat ladders
+    at entry: the fold sets (rho', mu') = (mu, mu^2) (wnla.rs:180-185),
+    so inverses chain by squaring — the reference inverts per level
+    (wnla.rs:135).
+  * Everything carries a trailing batch shape: one trace proves B
+    independent instances (shared sizes, per-lane data).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import curve as c
+from ..ops import field as f
+from ..ops.curve import PointJ
+from ..transcript.device import Transcript
+from . import points as pv
+from . import vectors as sv
+
+
+class WNLAProofDev(NamedTuple):
+    """Device proof: points stacked innermost-first on axis 1 (matching
+    the reference's proof.r/x ordering, wnla.rs:187-189)."""
+
+    r: PointJ  # (16, K, *batch)
+    x: PointJ  # (16, K, *batch)
+    l: jnp.ndarray  # (16, Ll, *batch) F_n limbs
+    n: jnp.ndarray  # (16, Ln, *batch)
+
+
+class WNLAProofBytes(NamedTuple):
+    """Wire-form proof for the verifier: SEC1-compressed X/R bytes are
+    absorbed directly (the transcript needs the exact bytes), and
+    decompressed once for the arithmetic."""
+
+    r: jnp.ndarray  # (33, K, *batch) uint32 bytes
+    x: jnp.ndarray  # (33, K, *batch)
+    l: jnp.ndarray  # (16, Ll, *batch) limbs
+    n: jnp.ndarray  # (16, Ln, *batch)
+
+
+def num_rounds(lh: int, lg: int) -> int:
+    """Static recursion depth: fold while |l| + |n| >= 6 (wnla.rs:126)."""
+    k = 0
+    while lh + lg >= 6:
+        lh = lh - lh // 2  # even half keeps ceil(L/2)
+        lg = lg - lg // 2
+        k += 1
+    return k
+
+
+def _msm_stack(groups):
+    """groups: list of (points:PointJ, scalars) pairs -> PointJ (16,M,*b)
+    computing each group's MSM with ONE shared window ladder."""
+    M = len(groups)
+    L = max(max(pv.pv_len(p), s.shape[1]) for p, s in groups)
+    pts = []
+    scs = []
+    for p, s in groups:
+        p = pv.pv_pad(p, L)
+        s = sv.sv_pad(s, L)
+        pts.append(PointJ(*(a[:, :, None] for a in p)))
+        scs.append(s[:, :, None])
+    points = PointJ(*(jnp.concatenate(cs, axis=2) for cs in zip(*pts)))
+    scalars = jnp.concatenate(scs, axis=2)  # (16, L, M, *batch)
+    return c.msm(points, scalars)  # reduces axis 1 -> (16, M, *batch)
+
+
+class WNLADevice:
+    """One WNLA instance family: fixed sizes, batched data.
+
+    g: PointJ (16, *batch); g_vec/h_vec: PointJ (16, L, *batch);
+    c_vec: (16, Lh, *batch) limbs; rho/mu: (16, *batch) limbs."""
+
+    def __init__(self, g: PointJ, g_vec: PointJ, h_vec: PointJ, c_vec, rho, mu):
+        self.g = g
+        self.g_vec = g_vec
+        self.h_vec = h_vec
+        self.c = sv.sv_pad(c_vec, pv.pv_len(h_vec))
+        self.rho = rho
+        self.mu = mu
+        self.batch = g.x.shape[1:]
+
+    # -- commitment (wnla.rs:66-72) -------------------------------------
+
+    def commit_value(self, l, n):
+        """v = <c, l> + |n|^2_mu."""
+        return f.fn_add(sv.sv_inner(self.c, l), sv.sv_weight_inner(n, n, self.mu))
+
+    def commit(self, l, n) -> PointJ:
+        v = self.commit_value(l, n)
+        pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
+        scs = sv.sv_concat(
+            [
+                v[:, None],
+                sv.sv_pad(l, pv.pv_len(self.h_vec)),
+                sv.sv_pad(n, pv.pv_len(self.g_vec)),
+            ]
+        )
+        return pv.msm(pts, scs)
+
+    # -- prove (wnla.rs:125-190) ----------------------------------------
+
+    def prove(self, commitment: PointJ, t: Transcript, l, n) -> WNLAProofDev:
+        lh, lg = l.shape[1], n.shape[1]
+        assert lh == pv.pv_len(self.h_vec) and lg == pv.pv_len(self.g_vec)
+
+        # One batched inversion pair; per-level inverses chain by squaring.
+        inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
+        rho_inv, mu_inv = inv2[:, 0], inv2[:, 1]
+
+        cur = self
+        xs, rs = [], []
+        K = num_rounds(lh, lg)
+        for _ in range(K):
+            commitment, l, n, x_pt, r_pt, cur = _prove_round(
+                cur, commitment, t, l, n, rho_inv
+            )
+            xs.append(x_pt)
+            rs.append(r_pt)
+            # fold law (rho', mu') = (mu, mu^2) => inverses chain by squaring
+            rho_inv = mu_inv
+            mu_inv = f.fn_mul(mu_inv, mu_inv)
+
+        xs.reverse()  # innermost-first, matching wnla.rs:187-189
+        rs.reverse()
+        stack = lambda ps: (
+            PointJ(*(jnp.stack(cs, axis=1) for cs in zip(*ps)))
+            if ps
+            else c.identity((0,) + self.batch)
+        )
+        return WNLAProofDev(r=stack(rs), x=stack(xs), l=l, n=n)
+
+    # -- verify (wnla.rs:75-121) ----------------------------------------
+
+    def verify(self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes):
+        """-> (*batch,) bool mask. Mirror verifier: folds generators per
+        level exactly like the reference (the collapsed one-MSM verifier
+        lives in the circuit layer's fast path)."""
+        lh, lg = pv.pv_len(self.h_vec), pv.pv_len(self.g_vec)
+        K = num_rounds(lh, lg)
+        assert proof.r.shape[1] == K and proof.x.shape[1] == K
+
+        xs = c.decompress(proof.x)  # coords (16, K, *batch)
+        rs = c.decompress(proof.r)
+
+        cur = self
+        for k in range(K):
+            idx = K - 1 - k  # verifier consumes from the END
+            x_pt = PointJ(*(a[:, idx] for a in xs))
+            r_pt = PointJ(*(a[:, idx] for a in rs))
+            t.append_message(b"wnla_com", c.compress(commitment))
+            t.append_message(b"wnla_x", proof.x[:, idx])
+            t.append_message(b"wnla_r", proof.r[:, idx])
+            t.append_u64(b"l.sz", pv.pv_len(cur.h_vec))
+            t.append_u64(b"n.sz", pv.pv_len(cur.g_vec))
+            y = t.challenge_scalar(b"wnla_challenge")
+
+            # C' = C + y*X + (y^2 - 1)*R  (wnla.rs:100-102)
+            y2m1 = f.fn_sub(f.fn_mul(y, y), sv.s_const(1, self.batch))
+            folded = pv.msm(
+                pv.pv_concat([pv.single(x_pt), pv.single(r_pt)]),
+                jnp.stack([y, y2m1], axis=1),
+            )
+            commitment = c.pt_add(commitment, folded)
+            cur = cur._fold_public(y)
+
+        return c.pt_eq(commitment, cur.commit(proof.l, proof.n))
+
+    # -- internals --------------------------------------------------------
+
+    def _fold_public(self, y) -> "WNLADevice":
+        """(wnla.rs:170-185): h' = h0 + y h1, g' = rho g0 + y g1,
+        c' = c0 + y c1, (rho', mu') = (mu, mu^2). One shared ladder for
+        the three point scalings."""
+        c0, c1 = sv.sv_split(self.c)
+        g0, g1 = pv.pv_split(self.g_vec)
+        h0, h1 = pv.pv_split(self.h_vec)
+
+        Lg0, Lg1, Lh1 = pv.pv_len(g0), pv.pv_len(g1), pv.pv_len(h1)
+        pts = pv.pv_concat([g0, g1, h1])
+        scs = sv.sv_concat(
+            [
+                jnp.broadcast_to(self.rho[:, None], (16, Lg0) + self.batch),
+                jnp.broadcast_to(y[:, None], (16, Lg1) + self.batch),
+                jnp.broadcast_to(y[:, None], (16, Lh1) + self.batch),
+            ]
+        )
+        scaled = c.pt_scalar_mul(pts, scs)
+        sg0 = PointJ(*(a[:, :Lg0] for a in scaled))
+        sg1 = PointJ(*(a[:, Lg0 : Lg0 + Lg1] for a in scaled))
+        sh1 = PointJ(*(a[:, Lg0 + Lg1 :] for a in scaled))
+
+        return WNLADevice(
+            g=self.g,
+            g_vec=pv.pv_add(sg0, sg1),
+            h_vec=pv.pv_add(h0, sh1),
+            c_vec=sv.sv_add(c0, sv.sv_scale(c1, y)),
+            rho=self.mu,
+            mu=f.fn_mul(self.mu, self.mu),
+        )
+
+
+def _prove_round(cur: WNLADevice, commitment, t, l, n, rho_inv):
+    """One folding round (wnla.rs:135-186). Returns the next state."""
+    batch = cur.batch
+    c0, c1 = sv.sv_split(cur.c)
+    l0, l1 = sv.sv_split(l)
+    n0, n1 = sv.sv_split(n)
+    g0, g1 = pv.pv_split(cur.g_vec)
+    h0, h1 = pv.pv_split(cur.h_vec)
+    mu2 = f.fn_mul(cur.mu, cur.mu)
+
+    two = sv.s_const(2, batch)
+    vx = f.fn_add(
+        f.fn_mul(sv.sv_weight_inner(n0, n1, mu2), f.fn_mul(rho_inv, two)),
+        f.fn_add(sv.sv_inner(c0, l1), sv.sv_inner(c1, l0)),
+    )
+    vr = f.fn_add(sv.sv_weight_inner(n1, n1, mu2), sv.sv_inner(c1, l1))
+
+    # X = vx*g + <h0,l1> + <h1,l0> + <g0, rho n1> + <g1, rho^-1 n0>
+    # R = vr*g + <h1,l1> + <g1,n1>      — one stacked ladder for both.
+    x_groups = (
+        pv.pv_concat([pv.single(cur.g), h0, h1, g0, g1]),
+        sv.sv_concat(
+            [
+                vx[:, None],
+                sv.sv_pad(l1, pv.pv_len(h0)),
+                sv.sv_pad(l0, pv.pv_len(h1)),
+                sv.sv_pad(sv.sv_scale(n1, cur.rho), pv.pv_len(g0)),
+                sv.sv_pad(sv.sv_scale(n0, rho_inv), pv.pv_len(g1)),
+            ]
+        ),
+    )
+    r_groups = (
+        pv.pv_concat([pv.single(cur.g), h1, g1]),
+        sv.sv_concat(
+            [vr[:, None], sv.sv_pad(l1, pv.pv_len(h1)), sv.sv_pad(n1, pv.pv_len(g1))]
+        ),
+    )
+    xr = _msm_stack([x_groups, r_groups])
+    x_pt = PointJ(*(a[:, 0] for a in xr))
+    r_pt = PointJ(*(a[:, 1] for a in xr))
+
+    # Compress all three absorbed points with one shared inversion path.
+    three = pv.pv_concat([pv.single(commitment), pv.single(x_pt), pv.single(r_pt)])
+    byts = c.compress(three)  # (33, 3, *batch)
+    t.append_message(b"wnla_com", byts[:, 0])
+    t.append_message(b"wnla_x", byts[:, 1])
+    t.append_message(b"wnla_r", byts[:, 2])
+    t.append_u64(b"l.sz", l.shape[1])
+    t.append_u64(b"n.sz", n.shape[1])
+    y = t.challenge_scalar(b"wnla_challenge")
+
+    nxt = cur._fold_public(y)
+    l_ = sv.sv_add(l0, sv.sv_scale(l1, y))
+    n_ = sv.sv_add(sv.sv_scale(n0, rho_inv), sv.sv_scale(n1, y))
+
+    # Prover recomputes the folded commitment from scratch (wnla.rs:186).
+    com_ = nxt.commit(l_, n_)
+    return com_, l_, n_, x_pt, r_pt, nxt

@@ -1,0 +1,122 @@
+"""Ahead-of-time program cache built on jax.export.
+
+Tracing the full BP++ protocol graphs is expensive (tens of seconds of
+pure-Python dispatch per program) and, unlike XLA compilation, JAX has no
+persistent cache for it. This module serializes exported (traced +
+lowered) programs to disk keyed by a name + the abstract signature of
+the inputs, so a process pays the tracing cost at most once per
+(program, shapes, platform) ever. The XLA binary itself is covered by
+jax's persistent compilation cache; together a warm start is
+milliseconds.
+
+Usage:
+
+    from bppp_tpu.utils.aot import cached
+    prove = cached("u64_prove_b1024", lambda args: ...)  # pytree -> pytree
+    out = prove(args)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import jax
+from jax import export as jax_export
+
+
+def _register_namedtuples() -> None:
+    """jax.export can only serialize registered pytree node types; register
+    every protocol NamedTuple once, idempotently."""
+    from ..ops.curve import PointJ
+    from ..protocol.wnla import WNLAProofBytes, WNLAProofDev
+
+    regs = [
+        (PointJ, "bppp_tpu.PointJ"),
+        (WNLAProofDev, "bppp_tpu.WNLAProofDev"),
+        (WNLAProofBytes, "bppp_tpu.WNLAProofBytes"),
+    ]
+    try:
+        from ..protocol.circuit import (
+            CircuitProofBytes,
+            CircuitProofDev,
+            CircuitWitnessDev,
+        )
+
+        regs += [
+            (CircuitProofDev, "bppp_tpu.CircuitProofDev"),
+            (CircuitProofBytes, "bppp_tpu.CircuitProofBytes"),
+            (CircuitWitnessDev, "bppp_tpu.CircuitWitnessDev"),
+        ]
+    except ImportError:
+        pass
+    try:
+        from ..protocol.reciprocal import ReciprocalProofBytes, ReciprocalProofDev
+
+        regs += [
+            (ReciprocalProofDev, "bppp_tpu.ReciprocalProofDev"),
+            (ReciprocalProofBytes, "bppp_tpu.ReciprocalProofBytes"),
+        ]
+    except ImportError:
+        pass
+    for cls, name in regs:
+        try:
+            jax_export.register_namedtuple_serialization(cls, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+
+_register_namedtuples()
+
+_DEFAULT_DIR = os.environ.get(
+    "BPPP_AOT_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".aot_cache")
+)
+
+
+def _signature(args) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        parts.append(f"{jax.numpy.asarray(leaf).dtype}:{jax.numpy.asarray(leaf).shape}")
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    return digest
+
+
+class CachedProgram:
+    def __init__(self, name: str, fn, cache_dir: str | None = None):
+        self.name = name
+        self.fn = fn
+        self.dir = Path(cache_dir or _DEFAULT_DIR)
+        self._loaded = {}
+
+    def _path(self, sig: str, platform: str) -> Path:
+        return self.dir / f"{self.name}-{platform}-{sig}.jaxexport"
+
+    def __call__(self, *args):
+        platform = jax.default_backend()
+        sig = _signature(args)
+        key = (sig, platform)
+        exp = self._loaded.get(key)
+        if exp is None:
+            path = self._path(sig, platform)
+            if path.exists():
+                exp = jax_export.deserialize(path.read_bytes())
+            else:
+                specs = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        jax.numpy.asarray(x).shape, jax.numpy.asarray(x).dtype
+                    ),
+                    args,
+                )
+                exp = jax_export.export(jax.jit(self.fn))(*specs)
+                self.dir.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(".tmp")
+                tmp.write_bytes(exp.serialize())
+                os.replace(tmp, path)
+            self._loaded[key] = exp
+        return exp.call(*args)
+
+
+def cached(name: str, fn, cache_dir: str | None = None) -> CachedProgram:
+    return CachedProgram(name, fn, cache_dir)
