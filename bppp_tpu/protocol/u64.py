@@ -1,0 +1,128 @@
+"""u64 range proof on device (JAX), batched — the flagship entry point.
+
+Fixed instantiation of the reciprocal protocol (reference:
+/root/reference/src/range_proof/u64_proof.rs): base 16, 16 hex digits;
+g_vec = 16, h_vec = 26 circuit + 6 WNLA padding = 32. Proof: 13 group
+elements + 3 scalars per value.
+
+Values enter as (2, *batch) uint32 (lo, hi) words; digit and
+multiplicity decomposition (u64_proof.rs:84-102) happens on device with
+static shifts and one-hot counting — no host round trip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import curve as dc
+from ..ops.curve import PointJ
+from ..transcript.device import Transcript
+from . import points as pv
+from . import vectors as sv
+from .reciprocal import (
+    ReciprocalProofBytes,
+    ReciprocalProofDev,
+    ReciprocalRangeProofDevice,
+    ReciprocalWitnessDev,
+    reciprocal_blind_draws,
+)
+
+G_VEC_FULL_SZ = 16
+H_VEC_CIRCUIT_SZ = 26
+H_VEC_FULL_SZ = 32
+DIM_ND = 16
+DIM_NP = 16
+
+U64_BLIND_DRAWS = reciprocal_blind_draws(DIM_ND)  # 52
+
+
+class U64RangeProofDevice:
+    """g: PointJ (16, *batch); g_vec: (16, 16, *batch); h_vec: (16, 32, *batch)."""
+
+    def __init__(self, g: PointJ, g_vec: PointJ, h_vec: PointJ):
+        assert pv.pv_len(g_vec) == G_VEC_FULL_SZ
+        assert pv.pv_len(h_vec) == H_VEC_FULL_SZ
+        self.g, self.g_vec, self.h_vec = g, g_vec, h_vec
+        self.batch = g.x.shape[1:]
+
+    def _reciprocal(self) -> ReciprocalRangeProofDevice:
+        batch = self.batch
+        empty = dc.identity((0,) + batch)
+        return ReciprocalRangeProofDevice(
+            dim_nd=DIM_ND,
+            dim_np=DIM_NP,
+            g=self.g,
+            g_vec=self.g_vec,
+            h_vec=PointJ(*(a[:, :H_VEC_CIRCUIT_SZ] for a in self.h_vec)),
+            g_vec_=empty,
+            h_vec_=PointJ(*(a[:, H_VEC_CIRCUIT_SZ:] for a in self.h_vec)),
+        )
+
+    def commit_value(self, x_words, s) -> PointJ:
+        """x_words: (2, *batch) uint32 (lo, hi); s: (16, *batch) limbs."""
+        return self._reciprocal().commit_value(u64_to_limbs(x_words), s)
+
+    def prove(self, x_words, s, t: Transcript, blind) -> ReciprocalProofDev:
+        """blind: (16, U64_BLIND_DRAWS, *batch) host-sampled stream."""
+        witness = ReciprocalWitnessDev(
+            x=u64_to_limbs(x_words),
+            s=s,
+            m=u64_to_hex_mapped(x_words),
+            digits=u64_to_hex(x_words),
+        )
+        recip = self._reciprocal()
+        commitment = recip.commit_value(witness.x, witness.s)
+        return recip.prove(commitment, witness, t, blind)
+
+    def verify(
+        self,
+        commitment_bytes,
+        t: Transcript,
+        proof: ReciprocalProofBytes,
+        fast: bool = False,
+    ):
+        """fast=True runs the collapsed one-MSM verifier (same transcript,
+        same accept/reject set — SURVEY.md §3.2)."""
+        return self._reciprocal().verify(commitment_bytes, t, proof, fast=fast)
+
+
+def u64_to_limbs(x_words):
+    """(2, *batch) uint32 (lo, hi) -> (16, *batch) F_n limbs."""
+    lo, hi = x_words[0], x_words[1]
+    limbs = [
+        lo & 0xFFFF,
+        (lo >> 16) & 0xFFFF,
+        hi & 0xFFFF,
+        (hi >> 16) & 0xFFFF,
+    ]
+    zero = jnp.zeros_like(lo)
+    return jnp.stack(limbs + [zero] * 12, axis=0).astype(jnp.uint32)
+
+
+def u64_digits(x_words):
+    """(2, *batch) -> (16, *batch) hex-digit values (plain uint32, 0..15),
+    least-significant first (u64_proof.rs:84-90)."""
+    lo, hi = x_words[0].astype(jnp.uint32), x_words[1].astype(jnp.uint32)
+    digs = [(lo >> (4 * i)) & 15 for i in range(8)]
+    digs += [(hi >> (4 * i)) & 15 for i in range(8)]
+    return jnp.stack(digs, axis=0)
+
+
+def u64_to_hex(x_words):
+    """(2, *batch) -> (16, nd=16, *batch) digit limbs."""
+    d = u64_digits(x_words)  # (16, *batch) digit values
+    batch = d.shape[1:]
+    out = jnp.zeros((16, 16) + batch, jnp.uint32)
+    return out.at[0].set(d)
+
+
+def u64_to_hex_mapped(x_words):
+    """Digit multiplicities (u64_proof.rs:92-102): out[:, v] = #digits == v,
+    as (16, np=16, *batch) limbs."""
+    d = u64_digits(x_words)  # (16, *batch)
+    counts = jnp.stack(
+        [jnp.sum((d == v).astype(jnp.uint32), axis=0) for v in range(16)], axis=0
+    )  # (16, *batch) counts per value v
+    batch = d.shape[1:]
+    out = jnp.zeros((16, 16) + batch, jnp.uint32)
+    return out.at[0].set(counts)

@@ -89,11 +89,13 @@ def sv_powers(x, L: int, start_at_one: bool = True):
     return f.fn_mul(e, x[:, None])
 
 
-def sv_weight_inner(a, b, w):
-    """sum_i a_i b_i w^(i+1) (util.rs:28-44)."""
+def sv_weight_inner(a, b, w, pw=None):
+    """sum_i a_i b_i w^(i+1) (util.rs:28-44). pw: optional precomputed
+    [w, w^2, ...] (16, >=L, *batch) to share across call sites."""
     a, b = _pad_pair(a, b)
-    pw = sv_powers(w, a.shape[1], start_at_one=False)
-    return sv_sum(f.fn_mul(f.fn_mul(a, b), pw))
+    if pw is None:
+        pw = sv_powers(w, a.shape[1], start_at_one=False)
+    return sv_sum(f.fn_mul(f.fn_mul(a, b), pw[:, : a.shape[1]]))
 
 
 def sv_tensor(a, b):

@@ -181,6 +181,93 @@ class WNLADevice:
 
         return c.pt_eq(commitment, cur.commit(proof.l, proof.n))
 
+    def verify_fast(self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes):
+        """Collapsed verifier: transcript-identical to `verify`, but the
+        per-round generator folds (the expensive point work,
+        wnla.rs:104-110) are replaced by scalar coefficient vectors over
+        the ORIGINAL generators and ONE shared-window MSM at the end —
+        the standard Bulletproofs verifier optimization the reference
+        does NOT implement (SURVEY.md §3.2).
+
+        Derivation: after K folds, h_K[j] = sum_m (prod_k y_k^{bit_k(m)})
+        h_0[(j<<K)|m] and g_K picks factor rho_k for 0-bits; the folded
+        commitment chain C' = C + y X + (y^2-1) R must still materialize
+        per round because its bytes are absorbed (wnla_com), but the last
+        round's X/R fold moves into the final MSM. Requires |h|, |g|
+        divisible by 2^K (all power-of-two instances: u64, WNLA 16/32/64)."""
+        lh, lg = pv.pv_len(self.h_vec), pv.pv_len(self.g_vec)
+        K = num_rounds(lh, lg)
+        if K == 0:
+            return self.verify(commitment, t, proof)
+        M = 1 << K
+        assert lh % M == 0 and lg % M == 0, "fast path needs 2^K-divisible sizes"
+        assert proof.r.shape[1] == K and proof.x.shape[1] == K
+        assert proof.l.shape[1] == lh // M and proof.n.shape[1] == lg // M
+
+        xs = c.decompress(proof.x)
+        rs = c.decompress(proof.r)
+        batch = self.batch
+        one = sv.s_const(1, batch)
+
+        ys, rho_factors = [], []
+        rho_k, mu_k = self.rho, self.mu
+        C = commitment
+        for k in range(K):
+            idx = K - 1 - k
+            t.append_message(b"wnla_com", c.compress(C))
+            t.append_message(b"wnla_x", proof.x[:, idx])
+            t.append_message(b"wnla_r", proof.r[:, idx])
+            t.append_u64(b"l.sz", lh >> k)
+            t.append_u64(b"n.sz", lg >> k)
+            y = t.challenge_scalar(b"wnla_challenge")
+            ys.append(y)
+            rho_factors.append(rho_k)
+            rho_k, mu_k = mu_k, f.fn_mul(mu_k, mu_k)
+            if k < K - 1:
+                x_pt = PointJ(*(a[:, idx] for a in xs))
+                r_pt = PointJ(*(a[:, idx] for a in rs))
+                y2m1 = f.fn_sub(f.fn_mul(y, y), one)
+                folded = pv.msm(
+                    pv.pv_concat([pv.single(x_pt), pv.single(r_pt)]),
+                    jnp.stack([y, y2m1], axis=1),
+                )
+                C = c.pt_add(C, folded)
+
+        # coefficient vectors over original generators (kron over rounds)
+        w_h = one[:, None]
+        w_g = one[:, None]
+        for k in range(K):
+            w_h = sv.sv_tensor(w_h, jnp.stack([one, ys[k]], axis=1))
+            w_g = sv.sv_tensor(w_g, jnp.stack([rho_factors[k], ys[k]], axis=1))
+        a_coef = sv.sv_tensor(w_h, proof.l)  # (16, lh, *b)
+        b_coef = sv.sv_tensor(w_g, proof.n)  # (16, lg, *b)
+
+        # folded public c vector: c_K[j] = sum_m w_h[m] * c0[(j<<K)|m]
+        c0 = self.c.reshape((16, lh // M, M) + batch)
+        ck_terms = f.fn_mul(c0, w_h[:, None])
+        c_K = f._fold_n(f._carry(jnp.sum(ck_terms.astype(jnp.uint32), axis=2), 18))
+
+        v_final = f.fn_add(
+            sv.sv_inner(c_K, proof.l),
+            sv.sv_weight_inner(proof.n, proof.n, mu_k),  # mu_k = mu^(2^K)
+        )
+
+        # final check: C_{K-1} + y X_0 + (y^2-1) R_0 == v g + <h,a> + <g,b>
+        # -> fold the last X/R into the MSM with negated coefficients.
+        last_y = ys[-1]
+        neg_y = f.fn_neg(last_y)
+        neg_y2m1 = f.fn_neg(f.fn_sub(f.fn_mul(last_y, last_y), one))
+        x0 = PointJ(*(a[:, 0] for a in xs))
+        r0 = PointJ(*(a[:, 0] for a in rs))
+        pts = pv.pv_concat(
+            [pv.single(self.g), self.h_vec, self.g_vec, pv.single(x0), pv.single(r0)]
+        )
+        scs = sv.sv_concat(
+            [v_final[:, None], a_coef, b_coef, neg_y[:, None], neg_y2m1[:, None]]
+        )
+        rhs = c.msm_straus(pts, scs)
+        return c.pt_eq(C, rhs)
+
     # -- internals --------------------------------------------------------
 
     def _fold_public(self, y) -> "WNLADevice":
@@ -226,31 +313,37 @@ def _prove_round(cur: WNLADevice, commitment, t, l, n, rho_inv):
     mu2 = f.fn_mul(cur.mu, cur.mu)
 
     two = sv.s_const(2, batch)
+    pw2 = sv.sv_powers(mu2, max(n0.shape[1], 1), start_at_one=False)
     vx = f.fn_add(
-        f.fn_mul(sv.sv_weight_inner(n0, n1, mu2), f.fn_mul(rho_inv, two)),
+        f.fn_mul(sv.sv_weight_inner(n0, n1, mu2, pw=pw2), f.fn_mul(rho_inv, two)),
         f.fn_add(sv.sv_inner(c0, l1), sv.sv_inner(c1, l0)),
     )
-    vr = f.fn_add(sv.sv_weight_inner(n1, n1, mu2), sv.sv_inner(c1, l1))
+    vr = f.fn_add(sv.sv_weight_inner(n1, n1, mu2, pw=pw2), sv.sv_inner(c1, l1))
 
     # X = vx*g + <h0,l1> + <h1,l0> + <g0, rho n1> + <g1, rho^-1 n0>
     # R = vr*g + <h1,l1> + <g1,n1>      — one stacked ladder for both.
-    x_groups = (
-        pv.pv_concat([pv.single(cur.g), h0, h1, g0, g1]),
-        sv.sv_concat(
-            [
-                vx[:, None],
-                sv.sv_pad(l1, pv.pv_len(h0)),
-                sv.sv_pad(l0, pv.pv_len(h1)),
-                sv.sv_pad(sv.sv_scale(n1, cur.rho), pv.pv_len(g0)),
-                sv.sv_pad(sv.sv_scale(n0, rho_inv), pv.pv_len(g1)),
-            ]
-        ),
+    # Each term pads points (identity) and scalars (zero) to a common
+    # length, matching vector_extend semantics (util.rs:24-26) for the
+    # odd/empty-half cases.
+    def term(p, s):
+        L = max(pv.pv_len(p), s.shape[1])
+        return pv.pv_pad(p, L), sv.sv_pad(s, L)
+
+    def build(terms):
+        pts, scs = zip(*(term(p, s) for p, s in terms))
+        return pv.pv_concat(pts), sv.sv_concat(scs)
+
+    x_groups = build(
+        [
+            (pv.single(cur.g), vx[:, None]),
+            (h0, l1),
+            (h1, l0),
+            (g0, sv.sv_scale(n1, cur.rho)),
+            (g1, sv.sv_scale(n0, rho_inv)),
+        ]
     )
-    r_groups = (
-        pv.pv_concat([pv.single(cur.g), h1, g1]),
-        sv.sv_concat(
-            [vr[:, None], sv.sv_pad(l1, pv.pv_len(h1)), sv.sv_pad(n1, pv.pv_len(g1))]
-        ),
+    r_groups = build(
+        [(pv.single(cur.g), vr[:, None]), (h1, l1), (g1, n1)]
     )
     xr = _msm_stack([x_groups, r_groups])
     x_pt = PointJ(*(a[:, 0] for a in xr))

@@ -74,9 +74,26 @@ _DEFAULT_DIR = os.environ.get(
 )
 
 
+_SRC_HASH: str | None = None
+
+
+def _src_hash() -> str:
+    """Hash of every .py under bppp_tpu — code changes invalidate cached
+    programs (the export captures the traced graph, not the source)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        pkg = Path(__file__).resolve().parent.parent
+        h = hashlib.sha256()
+        for f in sorted(pkg.rglob("*.py")):
+            h.update(f.as_posix().encode())
+            h.update(f.read_bytes())
+        _SRC_HASH = h.hexdigest()[:12]
+    return _SRC_HASH
+
+
 def _signature(args) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    parts = [str(treedef)]
+    parts = [str(treedef), _src_hash()]
     for leaf in leaves:
         parts.append(f"{jax.numpy.asarray(leaf).dtype}:{jax.numpy.asarray(leaf).shape}")
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
