@@ -49,13 +49,19 @@ def main() -> None:
     pb = cv.reciprocal_proofs_to_bytes([proof] * B)
     com_bytes = cv.point_bytes([com] * B)
 
-    def verify_fn(com_bytes, pb):
+    # generators enter as device-resident ARGUMENTS (a closure constant
+    # would be re-uploaded per execute on the tunneled runtime)
+    dev = jax.device_put(dev)
+    pb = jax.device_put(pb)
+    com_bytes = jax.device_put(com_bytes)
+
+    def verify_fn(dev, com_bytes, pb):
         t = DevTranscript(b"u64 range proof", batch=(B,))
         return dev.verify(com_bytes, t, pb, fast=True)
 
     prog = aot.cached(f"bench_u64_verify_fast_b{B}", verify_fn)
 
-    ok = np.asarray(prog(com_bytes, pb))  # warmup (trace/compile/load)
+    ok = np.asarray(prog(dev, com_bytes, pb))  # warmup (trace/compile/load)
     if not bool(ok.all()):
         print(json.dumps({"metric": "u64_verify_throughput", "value": 0.0,
                           "unit": "verifies/s", "vs_baseline": 0.0,
@@ -64,7 +70,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = prog(com_bytes, pb)
+        out = prog(dev, com_bytes, pb)
     np.asarray(out)
     dt = time.perf_counter() - t0
     rate = B * reps / dt

@@ -112,9 +112,22 @@ def _pallas_enabled() -> bool:
         return False
 
 
-def _flatten_for_pallas(arrs):
-    """(16, *batch) coords -> (16, B) padded to a TILE multiple, plus
-    restore info; None if the shape is too small to be worth a kernel."""
+def _pallas_bucket(prod: int, tile: int, floor: int = 0) -> int:
+    """Round a lane count up to max(floor, tile * 2^k). Every distinct
+    kernel SHAPE is a separate ~0.5-5 MB Mosaic binary, and the runtime's
+    per-call cost scales with total program code size (measured: a 136 MB
+    verify executable ran at ~316 ms/call). Floors collapse a program's
+    calls onto ONE instance per kernel at the price of padded compute —
+    point-op kernels are cheap per lane, so the trade wins by a lot."""
+    b = max(tile, floor)
+    while b < prod:
+        b *= 2
+    return b
+
+
+def _flatten_for_pallas(arrs, floor: int = 0):
+    """(16, *batch) coords -> (16, B) padded to a power-of-two lane
+    bucket, plus restore info; None if too small to be worth a kernel."""
     from . import pallas_curve as pc
 
     shape = arrs[0].shape
@@ -124,10 +137,10 @@ def _flatten_for_pallas(arrs):
         prod *= d
     if prod < pc.TILE:
         return None
-    pad = (-prod) % pc.TILE
+    bucket = _pallas_bucket(prod, pc.TILE, floor)
     flat = [a.reshape(16, prod) for a in arrs]
-    if pad:
-        flat = [jnp.pad(a, ((0, 0), (0, pad))) for a in flat]
+    if bucket != prod:
+        flat = [jnp.pad(a, ((0, 0), (0, bucket - prod))) for a in flat]
     return flat, batch, prod
 
 
@@ -259,9 +272,26 @@ def pt_add_mixed(p: PointJ, qx, qy, q_id=None) -> PointJ:
 def pt_scalar_mul(p: PointJ, k) -> PointJ:
     """[k]p, 4-bit fixed windows, branch-free.
 
-    k: (16, *batch) canonical F_n limbs. 64 windows MSB->LSB; per window
-    4 doubles + one masked-select table add. Replaces k256's per-point
-    ladder inside every `vector_mul` MSM (SURVEY.md §2 row 15)."""
+    k: (16, *batch) canonical F_n limbs. On TPU the entire ladder runs as
+    ONE fused Pallas call (ops/pallas_msm.py) — an XLA scan would pay
+    per-iteration dispatch inside the while loop, which profiling showed
+    dominating the composed verifier. Replaces k256's per-point ladder
+    inside every `vector_mul` MSM (SURVEY.md §2 row 15)."""
+    if _pallas_enabled():
+        from . import pallas_msm as pm
+
+        kb = jnp.broadcast_to(k, p.x.shape)
+        packed = _flatten_for_pallas(list(p) + [kb], floor=pm.LADDER_LANE_FLOOR)
+        if packed is not None:
+            from . import pallas_msm as pm
+
+            flat, batch, prod = packed
+            outs = pm.scalar_mul_flat(*flat)
+            return PointJ(*_unflatten(outs, batch, prod))
+    return _pt_scalar_mul_jnp(p, k)
+
+
+def _pt_scalar_mul_jnp(p: PointJ, k) -> PointJ:
     import jax
 
     # table[d] = [d]p, d = 0..15: 14 sequential adds inside a scan so the
@@ -303,9 +333,9 @@ def pt_scalar_mul(p: PointJ, k) -> PointJ:
 
 def pt_sum(p: PointJ, axis: int = 1) -> PointJ:
     """Reduce a points axis (default axis 1 of (16, L, *batch)) to a
-    single point: scan over pairwise-folding levels with a fixed padded
-    width so ONE pt_add body is compiled regardless of L. Identity
-    padding makes the extra lanes inert."""
+    single point. On TPU: one fused Pallas reduction call; otherwise a
+    pairwise fold + fori accumulate. Identity padding keeps extra lanes
+    inert."""
     import jax
 
     if axis != 1:
@@ -313,6 +343,29 @@ def pt_sum(p: PointJ, axis: int = 1) -> PointJ:
     L = p.x.shape[1]
     if L == 1:
         return PointJ(*(jnp.squeeze(c, axis=1) for c in p))
+
+    if _pallas_enabled():
+        batch = p.x.shape[2:]
+        prod = 1
+        for d in batch:
+            prod *= d
+        from . import pallas_msm as pm
+
+        if prod >= 256:
+            bucket = _pallas_bucket(prod, pm.TILE)
+            # bucket the chunk count too: identity-padded chunks are inert
+            Lb = 1
+            while Lb < L:
+                Lb *= 2
+            flat = [c.reshape(16, L, prod) for c in p]
+            if bucket != prod or Lb != L:
+                flat = [
+                    jnp.pad(c, ((0, 0), (0, Lb - L), (0, bucket - prod)))
+                    for c in flat
+                ]
+            ox, oy, oz = pm.tree_sum(flat, Lb)
+            outs = [o[:, :prod].reshape((16,) + batch) for o in (ox, oy, oz)]
+            return PointJ(*outs)
     # One pairwise fold (halves the sequential adds), then a fori_loop
     # accumulation whose single pt_add body keeps the compiled graph small.
     half = L // 2
@@ -381,7 +434,15 @@ def msm_straus(points: PointJ, scalars) -> PointJ:
     log-tree; only 256 doubles total run on the single accumulator lane.
     Work: ~64*L + 14*L + 256 point-ops vs msm's ~320*L — about 4x less
     for the verifier's 20-50 point MSMs. This replaces the reference's
-    naive per-term loop (util.rs:46-60) on the hot verify path."""
+    naive per-term loop (util.rs:46-60) on the hot verify path.
+
+    NOTE (TPU): the interleaved window walk is an XLA scan whose
+    per-iteration dispatch overhead exceeds its compute savings on the
+    current runtime, so on TPU this routes to the fused-ladder msm
+    (2 pallas calls); the shared-window algorithm remains the CPU/XLA
+    path and the basis for a future single-kernel version."""
+    if _pallas_enabled():
+        return msm(points, scalars)
     import jax
 
     L = points.x.shape[1]

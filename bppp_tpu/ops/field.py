@@ -442,9 +442,35 @@ def fp_is_zero(a):
     return jnp.all(a == 0, axis=0)
 
 
+def _pallas_pow(x, e: int, kind: str):
+    """Fused-ladder dispatch: on TPU with enough lanes, run the whole
+    exponentiation in one Pallas call (ops/pallas_msm.py). Returns None
+    when the XLA path should be used."""
+    from .curve import _pallas_enabled  # shared backend/env switch
+
+    if not _pallas_enabled():
+        return None
+    batch = x.shape[1:]
+    prod = 1
+    for d in batch:
+        prod *= d
+    if prod < 512:
+        return None
+    from . import pallas_msm as pm
+    from .curve import _pallas_bucket
+
+    bucket = _pallas_bucket(prod, pm.TILE, pm.POW_LANE_FLOOR)
+    flat = x.reshape(16, prod)
+    if bucket != prod:
+        flat = jnp.pad(flat, ((0, 0), (0, bucket - prod)))
+    out = pm.pow_const_flat(flat, e, kind)
+    return out[:, :prod].reshape((16,) + batch)
+
+
 def fp_pow_const(x, e: int):
     """x^e for a host-static exponent via 4-bit fixed windows."""
-    return _pow_const(x, e, fp_mul)
+    out = _pallas_pow(x, e, "p")
+    return out if out is not None else _pow_const(x, e, fp_mul)
 
 
 def fp_inv(x):
@@ -484,7 +510,8 @@ def fn_is_zero(a):
 
 
 def fn_pow_const(x, e: int):
-    return _pow_const(x, e, fn_mul)
+    out = _pallas_pow(x, e, "n")
+    return out if out is not None else _pow_const(x, e, fn_mul)
 
 
 def fn_inv(x):

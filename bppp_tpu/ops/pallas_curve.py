@@ -1,160 +1,54 @@
 """Pallas TPU kernels for the hot curve ops (fused Jacobian add/double).
 
-The XLA path in ops/curve.py builds each point op from ~10-20 field muls,
-each of which round-trips (16, B) uint32 arrays through HBM between
-fusions. These kernels keep the whole point operation in VMEM: one
-pallas_call reads 64-byte limbed coordinates, does the ~20k u32 VPU ops
-per lane of a complete masked add, and writes the result — measured ~6x
-faster per lane than the fused-XLA path on v5e.
-
-Layout: coordinates (16, B) uint32, B a multiple of TILE=512. Inside the
-kernel each limb row is reshaped to (4, 128) VREG tiles and all field
-arithmetic runs on Python lists of such rows (straight-line unrolled VPU
-code; see ops/field.py for the row convention).
-
-The kernels are semantics-identical to ops/curve.py pt_add/pt_double
-(complete, branch-free); dispatch happens there based on backend.
+Kernels keep whole point operations in VMEM on stacked (16, S, 128) limb
+arrays (see ops/pallas_field.py — the stacked form keeps Mosaic binaries
+~10x smaller than unrolled limb rows, which matters because the
+runtime's per-call cost scales with total executable size). Semantics
+are identical to ops/curve.py pt_add/pt_double (complete, branch-free);
+dispatch happens there based on backend.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import field as f
+from . import pallas_field as pf
 
 TILE = 512
 _SUB = 4  # TILE = _SUB * 128
 
 
-# -- row-level field ops (on (4,128) u32 rows) ----------------------------
-
-def _mulp(a, b):
-    return f._fold_p_rows(f._mul_rows(a, b))
+def _ld(ref):
+    return ref[:].reshape(16, _SUB, 128)
 
 
-def _addp(a, b):
-    return f._add_rows_mod(a, b, f.P_ROWS_17)
-
-
-def _subp(a, b):
-    return f._sub_rows_mod(a, b, f.P_ROWS_17)
-
-
-def _is_zero(a):
-    acc = a[0] == 0
-    for r in a[1:]:
-        acc = jnp.logical_and(acc, r == 0)
-    return acc
-
-
-def _sel(mask, a, b):
-    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
-
-
-def _dbl_rows(X, Y, Z):
-    """dbl-2009-l (a=0), rows in/out — mirrors curve.pt_double."""
-    A = _mulp(X, X)
-    Bb = _mulp(Y, Y)
-    C = _mulp(Bb, Bb)
-    t = _addp(X, Bb)
-    D = _subp(_subp(_mulp(t, t), A), C)
-    D = _addp(D, D)
-    E = _addp(_addp(A, A), A)
-    F = _mulp(E, E)
-    X3 = _subp(F, _addp(D, D))
-    C8 = _addp(C, C)
-    C8 = _addp(C8, C8)
-    C8 = _addp(C8, C8)
-    Y3 = _subp(_mulp(E, _subp(D, X3)), C8)
-    Z3 = _mulp(_addp(Y, Y), Z)
-    return X3, Y3, Z3
-
-
-def _add_rows(px, py, pz, qx, qy, qz):
-    """Complete masked Jacobian add, rows in/out — mirrors curve.pt_add."""
-    Z1Z1 = _mulp(pz, pz)
-    Z2Z2 = _mulp(qz, qz)
-    U1 = _mulp(px, Z2Z2)
-    U2 = _mulp(qx, Z1Z1)
-    S1 = _mulp(py, _mulp(qz, Z2Z2))
-    S2 = _mulp(qy, _mulp(pz, Z1Z1))
-    H = _subp(U2, U1)
-    r = _subp(S2, S1)
-    HH = _mulp(H, H)
-    HHH = _mulp(H, HH)
-    V = _mulp(U1, HH)
-    rr = _mulp(r, r)
-    X3 = _subp(_subp(rr, HHH), _addp(V, V))
-    Y3 = _subp(_mulp(r, _subp(V, X3)), _mulp(S1, HHH))
-    Z3 = _mulp(_mulp(pz, qz), H)
-
-    h_zero = _is_zero(H)
-    r_zero = _is_zero(r)
-    p_id = _is_zero(pz)
-    q_id = _is_zero(qz)
-    neither = jnp.logical_not(jnp.logical_or(p_id, q_id))
-
-    dX, dY, dZ = _dbl_rows(px, py, pz)
-    dbl_m = jnp.logical_and(neither, jnp.logical_and(h_zero, r_zero))
-    X3 = _sel(dbl_m, dX, X3)
-    Y3 = _sel(dbl_m, dY, Y3)
-    Z3 = _sel(dbl_m, dZ, Z3)
-
-    zero = [jnp.zeros_like(px[0]) for _ in range(16)]
-    one = [jnp.full_like(px[0], 1 if i == 0 else 0) for i in range(16)]
-    inv_m = jnp.logical_and(neither, jnp.logical_and(h_zero, jnp.logical_not(r_zero)))
-    X3 = _sel(inv_m, zero, X3)
-    Y3 = _sel(inv_m, one, Y3)
-    Z3 = _sel(inv_m, zero, Z3)
-
-    X3 = _sel(q_id, px, X3)
-    Y3 = _sel(q_id, py, Y3)
-    Z3 = _sel(q_id, pz, Z3)
-    X3 = _sel(p_id, qx, X3)
-    Y3 = _sel(p_id, qy, Y3)
-    Z3 = _sel(p_id, qz, Z3)
-    return X3, Y3, Z3
-
-
-# -- kernels ---------------------------------------------------------------
-
-def _load_rows(ref):
-    return [ref[i].reshape(_SUB, 128) for i in range(16)]
-
-
-def _store_rows(ref, rows):
-    for i in range(16):
-        ref[i] = rows[i].reshape(TILE)
+def _st(ref, v):
+    ref[:] = v.reshape(16, TILE)
 
 
 def _pt_add_kernel(px, py, pz, qx, qy, qz, ox, oy, oz):
-    X3, Y3, Z3 = _add_rows(
-        _load_rows(px), _load_rows(py), _load_rows(pz),
-        _load_rows(qx), _load_rows(qy), _load_rows(qz),
-    )
-    _store_rows(ox, X3)
-    _store_rows(oy, Y3)
-    _store_rows(oz, Z3)
+    X3, Y3, Z3 = pf.pt_add(_ld(px), _ld(py), _ld(pz), _ld(qx), _ld(qy), _ld(qz))
+    _st(ox, X3)
+    _st(oy, Y3)
+    _st(oz, Z3)
 
 
 def _pt_double_kernel(px, py, pz, ox, oy, oz):
-    X3, Y3, Z3 = _dbl_rows(_load_rows(px), _load_rows(py), _load_rows(pz))
-    _store_rows(ox, X3)
-    _store_rows(oy, Y3)
-    _store_rows(oz, Z3)
+    X3, Y3, Z3 = pf.pt_dbl(_ld(px), _ld(py), _ld(pz))
+    _st(ox, X3)
+    _st(oy, Y3)
+    _st(oz, Z3)
 
 
 def _spec():
     return pl.BlockSpec((16, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pt_add_flat(px, py, pz, qx, qy, qz, interpret: bool = False):
+@jax.jit
+def pt_add_flat(px, py, pz, qx, qy, qz):
     """Fused complete add on flat (16, B) coords, B % TILE == 0."""
     B = px.shape[1]
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
@@ -164,12 +58,11 @@ def pt_add_flat(px, py, pz, qx, qy, qz, interpret: bool = False):
         in_specs=[_spec()] * 6,
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
-        interpret=interpret,
     )(px, py, pz, qx, qy, qz)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pt_double_flat(px, py, pz, interpret: bool = False):
+@jax.jit
+def pt_double_flat(px, py, pz):
     B = px.shape[1]
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     return pl.pallas_call(
@@ -178,5 +71,4 @@ def pt_double_flat(px, py, pz, interpret: bool = False):
         in_specs=[_spec()] * 3,
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
-        interpret=interpret,
     )(px, py, pz)

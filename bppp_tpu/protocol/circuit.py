@@ -224,10 +224,14 @@ class ArithmeticCircuitDevice:
         )
 
         # commitment = P_t + tau^-1 C_S - delta C_O + tau C_L - tau^2 C_R + tau^3 v_
-        cs = dc.decompress(proof.c_s)
-        co = dc.decompress(proof.c_o)
-        cl = dc.decompress(proof.c_l)
-        cr = dc.decompress(proof.c_r)
+        # (one stacked decompression: a single sqrt ladder for all four)
+        four = dc.decompress(
+            jnp.stack([proof.c_s, proof.c_o, proof.c_l, proof.c_r], axis=1)
+        )
+        cs = PointJ(*(a[:, 0] for a in four))
+        co = PointJ(*(a[:, 1] for a in four))
+        cl = PointJ(*(a[:, 2] for a in four))
+        cr = PointJ(*(a[:, 3] for a in four))
         fold_scs = jnp.stack(
             [tau_inv, f.fn_neg(delta), tau, f.fn_neg(tau2)], axis=1
         )

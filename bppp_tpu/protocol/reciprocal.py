@@ -101,8 +101,9 @@ class ReciprocalRangeProofDevice:
         t.append_message(b"reciprocal_commitment", commitment_bytes)
         e = t.challenge_scalar(b"reciprocal_challenge")
         circuit = self.make_circuit(e)
-        v_pt = dc.decompress(commitment_bytes)
-        r_pt = dc.decompress(proof.r)
+        two = dc.decompress(jnp.stack([commitment_bytes, proof.r], axis=1))
+        v_pt = PointJ(*(a[:, 0] for a in two))
+        r_pt = PointJ(*(a[:, 1] for a in two))
         cc = dc.pt_add(v_pt, r_pt)  # circuit commitment = V + R
         cc_bytes = dc.compress(cc)
         return circuit.verify(

@@ -155,8 +155,9 @@ class WNLADevice:
         K = num_rounds(lh, lg)
         assert proof.r.shape[1] == K and proof.x.shape[1] == K
 
-        xs = c.decompress(proof.x)  # coords (16, K, *batch)
-        rs = c.decompress(proof.r)
+        both = c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+        xs = PointJ(*(a[:, :K] for a in both))  # coords (16, K, *batch)
+        rs = PointJ(*(a[:, K:] for a in both))
 
         cur = self
         for k in range(K):
@@ -204,8 +205,9 @@ class WNLADevice:
         assert proof.r.shape[1] == K and proof.x.shape[1] == K
         assert proof.l.shape[1] == lh // M and proof.n.shape[1] == lg // M
 
-        xs = c.decompress(proof.x)
-        rs = c.decompress(proof.r)
+        both = c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+        xs = PointJ(*(a[:, :K] for a in both))
+        rs = PointJ(*(a[:, K:] for a in both))
         batch = self.batch
         one = sv.s_const(1, batch)
 

@@ -110,7 +110,26 @@ def unpack_bytes(lo, hi):
 
 
 def f1600_bytes(state):
-    """(200, *batch) u32 byte state -> permuted byte state."""
+    """(200, *batch) u32 byte state -> permuted byte state. On TPU with
+    enough lanes this is ONE fused Pallas call (ops/pallas_keccak.py);
+    the scan path below is the CPU/XLA reference."""
+    from ..ops.curve import _pallas_enabled
+
+    batch = state.shape[1:]
+    prod = 1
+    for d in batch:
+        prod *= d
+    if _pallas_enabled() and prod >= 256:
+        from ..ops import pallas_keccak as pk
+        from ..ops.curve import _pallas_bucket
+
+        bucket = _pallas_bucket(prod, pk.TILE)
+        flat = state.reshape(200, prod)
+        if bucket != prod:
+            flat = jnp.pad(flat, ((0, 0), (0, bucket - prod)))
+        out = pk.f1600_flat(flat)
+        return out[:, :prod].reshape((200,) + batch)
+
     lo, hi = pack_bytes(state)
     lo, hi = f1600_lanes(lo, hi)
     return unpack_bytes(lo, hi)

@@ -65,6 +65,17 @@ def _register_namedtuples() -> None:
             jax_export.register_namedtuple_serialization(cls, serialized_name=name)
         except ValueError:
             pass  # already registered
+    try:
+        from ..protocol.u64 import U64RangeProofDevice
+
+        jax_export.register_pytree_node_serialization(
+            U64RangeProofDevice,
+            serialized_name="bppp_tpu.U64RangeProofDevice",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda b: None,
+        )
+    except (ImportError, ValueError):
+        pass
 
 
 _register_namedtuples()
@@ -74,26 +85,30 @@ _DEFAULT_DIR = os.environ.get(
 )
 
 
-_SRC_HASH: str | None = None
+_SRC_HASH: dict = {}
 
 
-def _src_hash() -> str:
-    """Hash of every .py under bppp_tpu — code changes invalidate cached
-    programs (the export captures the traced graph, not the source)."""
-    global _SRC_HASH
-    if _SRC_HASH is None:
+def _src_hash(platform: str) -> str:
+    """Hash of the .py sources a traced program can depend on — code
+    changes invalidate cached programs (the export captures the traced
+    graph, not the source). CPU programs never lower Pallas kernels
+    (ops/curve.py dispatch), so pallas_* files are excluded from the CPU
+    hash — TPU-kernel iterations don't invalidate the CPU test cache."""
+    if platform not in _SRC_HASH:
         pkg = Path(__file__).resolve().parent.parent
         h = hashlib.sha256()
         for f in sorted(pkg.rglob("*.py")):
+            if platform == "cpu" and "pallas" in f.name:
+                continue
             h.update(f.as_posix().encode())
             h.update(f.read_bytes())
-        _SRC_HASH = h.hexdigest()[:12]
-    return _SRC_HASH
+        _SRC_HASH[platform] = h.hexdigest()[:12]
+    return _SRC_HASH[platform]
 
 
-def _signature(args) -> str:
+def _signature(args, platform: str) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    parts = [str(treedef), _src_hash()]
+    parts = [str(treedef), _src_hash(platform)]
     for leaf in leaves:
         parts.append(f"{jax.numpy.asarray(leaf).dtype}:{jax.numpy.asarray(leaf).shape}")
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
@@ -112,7 +127,7 @@ class CachedProgram:
 
     def __call__(self, *args):
         platform = jax.default_backend()
-        sig = _signature(args)
+        sig = _signature(args, platform)
         key = (sig, platform)
         exp = self._loaded.get(key)
         if exp is None:

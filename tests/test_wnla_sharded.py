@@ -1,0 +1,72 @@
+"""Sequence-parallel WNLA (pair-blocked sharding, SURVEY.md §5) on a
+4-device CPU mesh: the sharded prover must produce byte-identical proofs
+to the single-device prover (same transcript, same points)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bppp_tpu.oracle import curve as oc
+from bppp_tpu.oracle.field import fn_mul
+from bppp_tpu.oracle.merlin import Transcript as HostTranscript
+from bppp_tpu.oracle.wnla import WNLA
+from bppp_tpu.parallel.mesh import make_mesh
+from bppp_tpu.parallel.wnla_shard import prove_sharded
+from bppp_tpu.protocol import convert as cv
+from bppp_tpu.utils import aot
+from bppp_tpu.utils.rng import SeededRng
+
+SZ = 32
+B = 2
+LABEL = b"wnla sharded"
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = SeededRng("wnla sharded")
+    g = oc.GENERATOR.mul(rng.scalar())
+    g_vec = [oc.GENERATOR.mul(rng.scalar()) for _ in range(SZ)]
+    h_vec = [oc.GENERATOR.mul(rng.scalar()) for _ in range(SZ)]
+    lanes = []
+    for _ in range(B):
+        c = rng.scalars(SZ)
+        rho = rng.scalar()
+        l = rng.scalars(SZ)
+        n = rng.scalars(SZ)
+        w = WNLA(g=g, g_vec=g_vec, h_vec=h_vec, c=c, rho=rho, mu=fn_mul(rho, rho))
+        com = w.commit(l, n)
+        proof = w.prove(com, HostTranscript(LABEL), l, n)
+        assert w.verify(com, HostTranscript(LABEL), proof)
+        lanes.append(dict(c=c, rho=rho, l=l, n=n, com=com, proof=proof))
+    dev = dict(
+        g=cv.point_batched(g, B),
+        g_vec=cv.points_batched(g_vec, B),
+        h_vec=cv.points_batched(h_vec, B),
+        c=cv.scalar_cols([ln["c"] for ln in lanes]),
+        rho=cv.f.ints_to_limbs([ln["rho"] for ln in lanes]),
+        mu=cv.f.ints_to_limbs([fn_mul(ln["rho"], ln["rho"]) for ln in lanes]),
+        l=cv.scalar_cols([ln["l"] for ln in lanes]),
+        n=cv.scalar_cols([ln["n"] for ln in lanes]),
+        com=cv.dc.from_int_points([ln["com"] for ln in lanes]),
+    )
+    return lanes, dev
+
+
+def test_sharded_prove_bit_exact(fixture):
+    lanes, dev = fixture
+    mesh = make_mesh(4, axis="sp")
+
+    def fn(dev):
+        return prove_sharded(
+            mesh, "sp", dev["g"], dev["g_vec"], dev["h_vec"], dev["c"],
+            dev["rho"], dev["mu"], dev["com"], LABEL, dev["l"], dev["n"],
+        )
+
+    prog = aot.cached("test_wnla_sharded_prove", fn)
+    proof = prog(dev)
+    for b, ln in enumerate(lanes):
+        got = cv.wnla_dev_to_oracle(proof, b)
+        want = ln["proof"]
+        assert [p.to_bytes() for p in got.r] == [p.to_bytes() for p in want.r]
+        assert [p.to_bytes() for p in got.x] == [p.to_bytes() for p in want.x]
+        assert got.l == want.l and got.n == want.n
