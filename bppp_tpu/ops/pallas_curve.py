@@ -10,6 +10,8 @@ dispatch happens there based on backend.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -19,6 +21,12 @@ from . import pallas_field as pf
 
 TILE = 512
 _SUB = 4  # TILE = _SUB * 128
+
+# CPU-validation escape hatch: run every pallas_call in interpret mode so
+# kernel semantics are testable without a TPU (tests/test_pallas_kernels.py).
+# Read at TRACE time (call sites), not import time, so tests can flip it.
+def INTERPRET() -> bool:
+    return os.environ.get("BPPP_PALLAS_INTERPRET", "0") == "1"
 
 
 def _ld(ref):
@@ -58,6 +66,7 @@ def pt_add_flat(px, py, pz, qx, qy, qz):
         in_specs=[_spec()] * 6,
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
+        interpret=INTERPRET(),
     )(px, py, pz, qx, qy, qz)
 
 
@@ -71,4 +80,5 @@ def pt_double_flat(px, py, pz):
         in_specs=[_spec()] * 3,
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
+        interpret=INTERPRET(),
     )(px, py, pz)

@@ -44,7 +44,11 @@ def _rotl(lo, hi, n: int):
     )
 
 
-def _f1600_kernel(s_ref, o_ref):
+def _f1600_kernel(rc_ref, s_ref, o_ref):
+    """24 rounds under ONE fori_loop (the round body is all static
+    rotations/xors; only the iota constant varies, read from SMEM) —
+    per-call runtime cost scales with Mosaic code size, so the unrolled
+    24-round body was ~20x more code for zero compute difference."""
     b = [s_ref[i].reshape(_SUB, 128) for i in range(200)]
     lo = []
     hi = []
@@ -58,7 +62,8 @@ def _f1600_kernel(s_ref, o_ref):
         lo.append(l)
         hi.append(h)
 
-    for rnd in range(24):
+    def round_body(rnd, carry):
+        lo, hi = list(carry[0]), list(carry[1])
         # theta
         clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
         chi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
@@ -82,9 +87,11 @@ def _f1600_kernel(s_ref, o_ref):
                 lo[x + 5 * y] = row_l[x] ^ (~row_l[(x + 1) % 5] & row_l[(x + 2) % 5])
                 hi[x + 5 * y] = row_h[x] ^ (~row_h[(x + 1) % 5] & row_h[(x + 2) % 5])
         # iota
-        rc = ROUND_CONSTANTS[rnd]
-        lo[0] = lo[0] ^ np.uint32(rc & 0xFFFFFFFF)
-        hi[0] = hi[0] ^ np.uint32(rc >> 32)
+        lo[0] = lo[0] ^ rc_ref[rnd, 0]
+        hi[0] = hi[0] ^ rc_ref[rnd, 1]
+        return tuple(lo), tuple(hi)
+
+    lo, hi = jax.lax.fori_loop(0, 24, round_body, (tuple(lo), tuple(hi)))
 
     for i in range(25):
         for j in range(4):
@@ -92,15 +99,26 @@ def _f1600_kernel(s_ref, o_ref):
             o_ref[8 * i + 4 + j] = ((hi[i] >> (8 * j)) & 0xFF).reshape(TILE)
 
 
+_RC_TABLE = np.asarray(
+    [[rc & 0xFFFFFFFF, rc >> 32] for rc in ROUND_CONSTANTS], dtype=np.uint32
+)
+
+
 @jax.jit
 def f1600_flat(state):
     """(200, B) u32 byte state -> permuted, B % TILE == 0, one call."""
+    from .pallas_curve import INTERPRET
+
     B = state.shape[1]
     spec = pl.BlockSpec((200, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _f1600_kernel,
         grid=(B // TILE,),
-        in_specs=[spec],
+        in_specs=[
+            pl.BlockSpec((24, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec,
+        ],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((200, B), jnp.uint32),
-    )(state)
+        interpret=INTERPRET(),
+    )(jnp.asarray(_RC_TABLE), state)

@@ -25,8 +25,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_curve as pc
 from . import pallas_field as pf
-from .pallas_curve import TILE, _SUB, _ld, _spec, _st
+from .pallas_curve import INTERPRET, TILE, _SUB, _ld, _spec, _st
 
 
 def _ent_iota(shape):
@@ -51,30 +52,40 @@ def _tab_select(tab, d):
 # -- fused pow ladder (fp_inv / fp_sqrt / fn_inv) ---------------------------
 
 def _pow_kernel(mul, digits_ref, x_ref, o_ref):
+    """Fixed-window pow with ONE loop whose body holds exactly TWO mul
+    sites (the squaring and the table/operand multiply). Steps 0..13
+    build tab[2..15] = x^2..x^15 (the running product doubles as the
+    table chain); steps 14.. walk the exponent digits MSB-first. The
+    per-call runtime cost scales with Mosaic code size, so op-site count
+    — not op count — is what this kernel minimizes."""
     x = _ld(x_ref)
     one = jnp.pad(
         jnp.ones((1,) + x.shape[1:], jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
 
-    def tab_body(d, carry):
-        tab, cur = carry
-        nxt = mul(cur, x)
-        return _tab_set(tab, d, nxt), nxt
-
     tab0 = jnp.zeros((16,) + x.shape, jnp.uint32)
     tab0 = _tab_set(tab0, 0, one)
     tab0 = _tab_set(tab0, 1, x)
-    tab, _ = jax.lax.fori_loop(2, 16, tab_body, (tab0, x))
-
     ndig = digits_ref.shape[0]
 
-    def body(i, acc):
-        for _ in range(4):
-            acc = mul(acc, acc)
-        return mul(acc, _tab_select(tab, digits_ref[i, 0]))
+    def body(i, carry):
+        tab, acc = carry
+        is_tab = i < 14
+        # accumulator restarts at 1 for the digit walk (1^16 * tab[d0]
+        # == tab[d0], so digit 0 needs no special case)
+        acc = jnp.where(i == 14, one, acc)
 
-    acc0 = _tab_select(tab, digits_ref[0, 0])
-    acc = jax.lax.fori_loop(1, ndig, body, acc0)
+        def sstep(_, a):
+            return jnp.where(is_tab, a, mul(a, a))
+
+        acc = jax.lax.fori_loop(0, 4, sstep, acc)
+        w = jnp.maximum(i - 14, 0)
+        o2 = jnp.where(is_tab, x, _tab_select(tab, digits_ref[w, 0]))
+        nxt = mul(acc, o2)
+        ent = jnp.where(is_tab, i + 2, 16)  # 16 = out of range: no write
+        return _tab_set(tab, ent, nxt), nxt
+
+    _, acc = jax.lax.fori_loop(0, 14 + ndig, body, (tab0, x))
     _st(o_ref, acc)
 
 
@@ -107,6 +118,7 @@ def pow_const_flat(x_flat, e: int, kind: str):
                 ],
                 out_specs=_spec(),
                 out_shape=jax.ShapeDtypeStruct((16, B), jnp.uint32),
+                interpret=pc.INTERPRET(),
             )(jnp.asarray(digits), x_flat)
 
         _POW_CACHE[key] = run
@@ -116,6 +128,12 @@ def pow_const_flat(x_flat, e: int, kind: str):
 # -- fused [k]P ladder --------------------------------------------------------
 
 def _ladder_kernel(px, py, pz, k_ref, ox, oy, oz, dig_ref):
+    """Full [k]P fixed-window ladder with ONE loop whose body holds
+    exactly one pt_add site and one pt_dbl site. Steps 0..13 build
+    tab[2..15] = [2]P..[15]P (the running point doubles as the table
+    chain); steps 14..77 are the 64 digit windows (4 masked doubles +
+    one table add). Op-SITE count, not op count, sets the Mosaic binary
+    size, and per-call runtime cost scales with total code size."""
     X, Y, Z = _ld(px), _ld(py), _ld(pz)
     k = _ld(k_ref)
     zero = jnp.zeros_like(X)
@@ -123,24 +141,11 @@ def _ladder_kernel(px, py, pz, k_ref, ox, oy, oz, dig_ref):
         jnp.ones((1,) + X.shape[1:], jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
 
-    def tab_body(d, carry):
-        tx, ty, tz, cx, cy, cz = carry
-        nx, ny, nz = pf.pt_add(cx, cy, cz, X, Y, Z)
-        return (
-            _tab_set(tx, d, nx),
-            _tab_set(ty, d, ny),
-            _tab_set(tz, d, nz),
-            nx, ny, nz,
-        )
-
     tabx = _tab_set(jnp.zeros((16,) + X.shape, jnp.uint32), 1, X)
     taby = _tab_set(
         _tab_set(jnp.zeros((16,) + X.shape, jnp.uint32), 0, one), 1, Y
     )
     tabz = _tab_set(jnp.zeros((16,) + X.shape, jnp.uint32), 1, Z)
-    tabx, taby, tabz, _, _, _ = jax.lax.fori_loop(
-        2, 16, tab_body, (tabx, taby, tabz, X, Y, Z)
-    )
 
     # digit planes, MSB-first, staged through VMEM scratch (refs allow
     # dynamic leading-dim reads; values do not)
@@ -148,20 +153,44 @@ def _ladder_kernel(px, py, pz, k_ref, ox, oy, oz, dig_ref):
         [(k[w // 4] >> (4 * (w % 4))) & 15 for w in range(63, -1, -1)], axis=0
     )
 
-    def body(w, carry):
-        ax, ay, az = carry
-        for _ in range(4):
-            ax, ay, az = pf.pt_dbl(ax, ay, az)
-        d = dig_ref[w]
-        sx = _tab_select(tabx, d)
-        sy = _tab_select(taby, d)
-        sz = _tab_select(tabz, d)
-        return pf.pt_add(ax, ay, az, sx, sy, sz)
+    def body(i, carry):
+        sx, sy, sz, tx, ty, tz = carry
+        is_tab = i < 14
+        # accumulator restarts at identity for the first window step
+        first = i == 14
+        sx = jnp.where(first, zero, sx)
+        sy = jnp.where(first, one, sy)
+        sz = jnp.where(first, zero, sz)
 
-    ax, ay, az = jax.lax.fori_loop(0, 64, body, (zero, one, zero))
-    _st(ox, ax)
-    _st(oy, ay)
-    _st(oz, az)
+        def dstep(_, st):
+            nx, ny, nz = pf.pt_dbl(*st)
+            return (
+                jnp.where(is_tab, st[0], nx),
+                jnp.where(is_tab, st[1], ny),
+                jnp.where(is_tab, st[2], nz),
+            )
+
+        sx, sy, sz = jax.lax.fori_loop(0, 4, dstep, (sx, sy, sz))
+        w = jnp.maximum(i - 14, 0)
+        d = dig_ref[w]
+        qx = jnp.where(is_tab, X, _tab_select(tx, d))
+        qy = jnp.where(is_tab, Y, _tab_select(ty, d))
+        qz = jnp.where(is_tab, Z, _tab_select(tz, d))
+        nx, ny, nz = pf.pt_add(sx, sy, sz, qx, qy, qz)
+        ent = jnp.where(is_tab, i + 2, 16)  # 16 = out of range: no write
+        return (
+            nx, ny, nz,
+            _tab_set(tx, ent, nx),
+            _tab_set(ty, ent, ny),
+            _tab_set(tz, ent, nz),
+        )
+
+    sx, sy, sz, _, _, _ = jax.lax.fori_loop(
+        0, 78, body, (X, Y, Z, tabx, taby, tabz)
+    )
+    _st(ox, sx)
+    _st(oy, sy)
+    _st(oz, sz)
 
 
 @jax.jit
@@ -177,6 +206,7 @@ def scalar_mul_flat(px, py, pz, k):
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[pltpu.VMEM((64, _SUB, 128), jnp.uint32)],
+        interpret=INTERPRET(),
     )(px, py, pz, k)
 
 
@@ -217,6 +247,7 @@ def tree_sum_flat(px, py, pz, L: int):
         in_specs=[spec_in] * 3,
         out_specs=[_spec()] * 3,
         out_shape=[out] * 3,
+        interpret=INTERPRET(),
     )(px, py, pz)
 
 

@@ -161,12 +161,17 @@ class ArithmeticCircuitDevice:
         t: Transcript,
         proof: CircuitProofBytes,
         fast: bool = False,
+        pre=None,
     ):
         """v: k commitment points, coords (16, k, *b); v_bytes (33, k, *b)
         are the exact SEC1 bytes to absorb. -> (*b,) bool.
 
         fast=True: one shared-window MSM builds the WNLA input commitment
-        and the collapsed WNLA verifier runs (transcript-identical)."""
+        and the collapsed WNLA verifier runs (transcript-identical).
+        pre: optional (four, xr) pre-decompressed proof points — four =
+        [C_S, C_O, C_L, C_R] coords (16, 4, *b), xr = the WNLA X|R points
+        (16, 2K, *b) — so a caller can batch ALL decompressions (its own
+        plus this layer's) into one sqrt ladder."""
         t.append_message(b"commitment_cl", proof.c_l)
         t.append_message(b"commitment_cr", proof.c_r)
         t.append_message(b"commitment_co", proof.c_o)
@@ -224,10 +229,25 @@ class ArithmeticCircuitDevice:
         )
 
         # commitment = P_t + tau^-1 C_S - delta C_O + tau C_L - tau^2 C_R + tau^3 v_
-        # (one stacked decompression: a single sqrt ladder for all four)
-        four = dc.decompress(
-            jnp.stack([proof.c_s, proof.c_o, proof.c_l, proof.c_r], axis=1)
-        )
+        # (one stacked decompression: a single sqrt ladder for all of this
+        # layer's four points AND the WNLA X/R points)
+        if pre is None:
+            stacked = dc.decompress(
+                jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [proof.c_s, proof.c_o, proof.c_l, proof.c_r], axis=1
+                        ),
+                        proof.wnla.x,
+                        proof.wnla.r,
+                    ],
+                    axis=1,
+                )
+            )
+            four = PointJ(*(a[:, :4] for a in stacked))
+            xr = PointJ(*(a[:, 4:] for a in stacked))
+        else:
+            four, xr = pre
         cs = PointJ(*(a[:, 0] for a in four))
         co = PointJ(*(a[:, 1] for a in four))
         cl = PointJ(*(a[:, 2] for a in four))
@@ -272,8 +292,8 @@ class ArithmeticCircuitDevice:
             mu=mu,
         )
         if fast:
-            return wnla.verify_fast(commitment, t, proof.wnla)
-        return wnla.verify(commitment, t, proof.wnla)
+            return wnla.verify_fast(commitment, t, proof.wnla, xr=xr)
+        return wnla.verify(commitment, t, proof.wnla, xr=xr)
 
     def prove(
         self, v: PointJ, v_bytes, witness: CircuitWitnessDev, t: Transcript, blind

@@ -101,13 +101,35 @@ class ReciprocalRangeProofDevice:
         t.append_message(b"reciprocal_commitment", commitment_bytes)
         e = t.challenge_scalar(b"reciprocal_challenge")
         circuit = self.make_circuit(e)
-        two = dc.decompress(jnp.stack([commitment_bytes, proof.r], axis=1))
-        v_pt = PointJ(*(a[:, 0] for a in two))
-        r_pt = PointJ(*(a[:, 1] for a in two))
+        # ALL 14 proof-point decompressions (V, R, the circuit's C_S/C_O/
+        # C_L/C_R, and the WNLA X/R) in ONE stacked sqrt ladder: one
+        # kernel instance instead of three shape-bucketed ones.
+        cp = proof.circuit
+        allb = jnp.concatenate(
+            [
+                jnp.stack(
+                    [commitment_bytes, proof.r, cp.c_s, cp.c_o, cp.c_l, cp.c_r],
+                    axis=1,
+                ),
+                cp.wnla.x,
+                cp.wnla.r,
+            ],
+            axis=1,
+        )
+        pts = dc.decompress(allb)
+        v_pt = PointJ(*(a[:, 0] for a in pts))
+        r_pt = PointJ(*(a[:, 1] for a in pts))
+        four = PointJ(*(a[:, 2:6] for a in pts))
+        xr = PointJ(*(a[:, 6:] for a in pts))
         cc = dc.pt_add(v_pt, r_pt)  # circuit commitment = V + R
         cc_bytes = dc.compress(cc)
         return circuit.verify(
-            pv.single(cc), cc_bytes[:, None], t, proof.circuit, fast=fast
+            pv.single(cc),
+            cc_bytes[:, None],
+            t,
+            proof.circuit,
+            fast=fast,
+            pre=(four, xr),
         )
 
     def prove(

@@ -147,15 +147,23 @@ class WNLADevice:
 
     # -- verify (wnla.rs:75-121) ----------------------------------------
 
-    def verify(self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes):
+    def verify(
+        self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes, xr=None
+    ):
         """-> (*batch,) bool mask. Mirror verifier: folds generators per
         level exactly like the reference (the collapsed one-MSM verifier
-        lives in the circuit layer's fast path)."""
+        lives in the circuit layer's fast path). xr: optional
+        pre-decompressed X|R points, coords (16, 2K, *batch) — callers
+        batch ALL proof-point decompressions into one sqrt ladder."""
         lh, lg = pv.pv_len(self.h_vec), pv.pv_len(self.g_vec)
         K = num_rounds(lh, lg)
         assert proof.r.shape[1] == K and proof.x.shape[1] == K
 
-        both = c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+        both = (
+            c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+            if xr is None
+            else xr
+        )
         xs = PointJ(*(a[:, :K] for a in both))  # coords (16, K, *batch)
         rs = PointJ(*(a[:, K:] for a in both))
 
@@ -182,7 +190,9 @@ class WNLADevice:
 
         return c.pt_eq(commitment, cur.commit(proof.l, proof.n))
 
-    def verify_fast(self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes):
+    def verify_fast(
+        self, commitment: PointJ, t: Transcript, proof: WNLAProofBytes, xr=None
+    ):
         """Collapsed verifier: transcript-identical to `verify`, but the
         per-round generator folds (the expensive point work,
         wnla.rs:104-110) are replaced by scalar coefficient vectors over
@@ -199,13 +209,17 @@ class WNLADevice:
         lh, lg = pv.pv_len(self.h_vec), pv.pv_len(self.g_vec)
         K = num_rounds(lh, lg)
         if K == 0:
-            return self.verify(commitment, t, proof)
+            return self.verify(commitment, t, proof, xr=xr)
         M = 1 << K
         assert lh % M == 0 and lg % M == 0, "fast path needs 2^K-divisible sizes"
         assert proof.r.shape[1] == K and proof.x.shape[1] == K
         assert proof.l.shape[1] == lh // M and proof.n.shape[1] == lg // M
 
-        both = c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+        both = (
+            c.decompress(jnp.concatenate([proof.x, proof.r], axis=1))
+            if xr is None
+            else xr
+        )
         xs = PointJ(*(a[:, :K] for a in both))
         rs = PointJ(*(a[:, K:] for a in both))
         batch = self.batch

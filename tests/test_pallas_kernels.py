@@ -1,0 +1,143 @@
+"""CPU validation of the Pallas TPU kernels via interpret mode.
+
+The fused kernels (ops/pallas_curve.py, ops/pallas_msm.py,
+ops/pallas_keccak.py) normally run only on the TPU backend; these tests
+execute them through pallas interpret mode so their semantics are pinned
+against the host oracle on every CPU test run. Shapes use the production
+TILE (512 lanes) so layout/reshape logic is exercised exactly.
+"""
+
+import os
+
+os.environ["BPPP_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bppp_tpu.oracle import curve as oc
+from bppp_tpu.oracle import field as of
+from bppp_tpu.oracle import keccak as ok
+from bppp_tpu.ops import field as f
+from bppp_tpu.ops import pallas_keccak as pk
+from bppp_tpu.ops import pallas_msm as pm
+from bppp_tpu.ops import pallas_curve as pcv
+
+TILE = pm.TILE  # 512
+
+
+def _flat_points(pts):
+    """list of oracle Points (len B) -> 3x (16, B) limb arrays."""
+    xs = jnp.asarray(f.ints_to_limbs([p.x for p in pts]))
+    ys = jnp.asarray(f.ints_to_limbs([p.y for p in pts]))
+    zs = jnp.asarray(f.ints_to_limbs([p.z for p in pts]))
+    return xs, ys, zs
+
+
+def _to_points(ox, oy, oz):
+    xs = f.limbs_to_ints(np.asarray(ox))
+    ys = f.limbs_to_ints(np.asarray(oy))
+    zs = f.limbs_to_ints(np.asarray(oz))
+    return [oc.Point(x, y, z) for x, y, z in zip(xs, ys, zs)]
+
+
+def _rand_wide(rng, bound, n):
+    """n pseudo-random ints in [0, bound) with bound up to 2^256."""
+    vals = []
+    for _ in range(n):
+        v = 0
+        for _ in range(4):
+            v = (v << 64) | int(rng.integers(0, 2**63))
+        vals.append(v % bound)
+    return vals
+
+
+def _rand_points(rng, n):
+    """Deterministic pseudo-random points: [k]G for random k (plus a few
+    edge lanes patched in by callers)."""
+    ks = [int(rng.integers(1, 2**63)) | 1 for _ in range(n)]
+    return [oc.GENERATOR.mul(k) for k in ks]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def test_ladder_kernel_vs_oracle(rng):
+    pts = _rand_points(rng, TILE)
+    # edge lanes: identity base, k = 0, k = 1, k = n - 1
+    pts[0] = oc.IDENTITY
+    ks = _rand_wide(rng, of.N, TILE)
+    ks[1] = 0
+    ks[2] = 1
+    ks[3] = of.N - 1
+    px, py, pz = _flat_points(pts)
+    karr = jnp.asarray(f.ints_to_limbs(ks))
+    ox, oy, oz = pm.scalar_mul_flat(px, py, pz, karr)
+    got = _to_points(ox, oy, oz)
+    for i in [0, 1, 2, 3] + [7, 100, 511]:
+        want = pts[i].mul(ks[i])
+        assert got[i].eq(want), f"lane {i}"
+
+
+def test_pow_kernel_vs_oracle(rng):
+    xs = [v | 1 for v in _rand_wide(rng, of.P, TILE)]
+    xs[0] = 0  # fp_inv(0) == 0 convention
+    xf = jnp.asarray(f.ints_to_limbs(xs))
+    out = pm.pow_const_flat(xf, of.P - 2, "p")
+    got = f.limbs_to_ints(np.asarray(out))
+    for i in [0, 1, 5, 511]:
+        want = 0 if xs[i] == 0 else of.fp_inv(xs[i])
+        assert got[i] == want, f"lane {i}"
+
+    out_n = pm.pow_const_flat(jnp.asarray(f.ints_to_limbs(xs)), of.N - 2, "n")
+    got_n = f.limbs_to_ints(np.asarray(out_n))
+    for i in [1, 9, 510]:
+        assert got_n[i] == of.fn_inv(xs[i] % of.N), f"lane {i}"
+
+
+def test_tree_sum_vs_oracle(rng):
+    L = 8
+    pts = [_rand_points(rng, TILE) for _ in range(L)]
+    pts[3][5] = oc.IDENTITY  # identity chunk lane
+    px = jnp.stack([_flat_points(row)[0] for row in pts], axis=1)
+    py = jnp.stack([_flat_points(row)[1] for row in pts], axis=1)
+    pz = jnp.stack([_flat_points(row)[2] for row in pts], axis=1)
+    ox, oy, oz = pm.tree_sum((px, py, pz), L)
+    got = _to_points(ox, oy, oz)
+    for i in [0, 5, 511]:
+        want = oc.IDENTITY
+        for row in pts:
+            want = want.add(row[i])
+        assert got[i].eq(want), f"lane {i}"
+
+
+def test_pt_add_double_kernels(rng):
+    ps = _rand_points(rng, TILE)
+    qs = _rand_points(rng, TILE)
+    # edge lanes: p==q (doubling collision), p==-q (inverse), identities
+    qs[0] = ps[0]
+    qs[1] = oc.Point(ps[1].x, of.fp_sub(0, ps[1].y), ps[1].z)
+    ps[2] = oc.IDENTITY
+    qs[3] = oc.IDENTITY
+    px, py, pz = _flat_points(ps)
+    qx, qy, qz = _flat_points(qs)
+    ox, oy, oz = pcv.pt_add_flat(px, py, pz, qx, qy, qz)
+    got = _to_points(ox, oy, oz)
+    for i in [0, 1, 2, 3, 250, 511]:
+        assert got[i].eq(ps[i].add(qs[i])), f"add lane {i}"
+    dx, dy, dz = pcv.pt_double_flat(px, py, pz)
+    gotd = _to_points(dx, dy, dz)
+    for i in [0, 2, 400]:
+        assert gotd[i].eq(ps[i].double()), f"double lane {i}"
+
+
+def test_keccak_kernel_vs_oracle(rng):
+    states = rng.integers(0, 256, size=(200, TILE), dtype=np.uint32)
+    out = np.asarray(pk.f1600_flat(jnp.asarray(states)))
+    for lane in [0, 17, 511]:
+        state_bytes = bytes(int(b) for b in states[:, lane])
+        want = ok.f1600_bytes(state_bytes)
+        got = bytes(int(b) for b in out[:, lane])
+        assert got == want, f"lane {lane}"

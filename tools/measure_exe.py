@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Measure Mosaic kernel executable sizes and per-call cost on the TPU.
+
+Usage: python tools/measure_exe.py [kernels|verify|law]
+
+  kernels — compile each Pallas kernel standalone at production shapes,
+            report generated-code size + steady-state wall time.
+  verify  — compile the batch-B fast verifier, report total executable
+            size, per-call time, and the pallas custom-call census.
+  law     — re-measure the per-call-cost-vs-code-size law with dummy
+            programs of increasing size.
+
+Env: BPPP_BENCH_BATCH (default 512).
+"""
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def _time_call(fn, *args, reps=5):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def jax_block(out):
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
+    )
+
+
+def _exe_stats(compiled):
+    try:
+        ma = compiled.memory_analysis()
+        code = getattr(ma, "generated_code_size_in_bytes", None)
+    except Exception:
+        code = None
+    return code
+
+
+def census(hlo_text: str):
+    """Count pallas/custom calls by (name, shape signature)."""
+    counts = {}
+    for m in re.finditer(r"custom-call[^\n]*custom_call_target=\"([^\"]+)\"", hlo_text):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+def run_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    from bppp_tpu.ops import pallas_curve as pcv
+    from bppp_tpu.ops import pallas_keccak as pk
+    from bppp_tpu.ops import pallas_msm as pm
+    from bppp_tpu.oracle.field import N as N_INT
+    from bppp_tpu.oracle.field import P as P_INT
+
+    rng = np.random.default_rng(0)
+
+    def limbs(B):
+        return jnp.asarray(
+            rng.integers(0, 1 << 16, size=(16, B), dtype=np.uint32)
+        )
+
+    results = []
+    for B in (512, 4096, 32768):
+        px, py, pz, k = limbs(B), limbs(B), limbs(B), limbs(B)
+
+        lowered = jax.jit(pm.scalar_mul_flat).lower(px, py, pz, k)
+        comp = lowered.compile()
+        dt = _time_call(comp, px, py, pz, k)
+        results.append(("ladder", B, _exe_stats(comp), dt))
+
+        lowered = jax.jit(lambda x: pm.pow_const_flat(x, P_INT - 2, "p")).lower(px)
+        comp = lowered.compile()
+        dt = _time_call(comp, px)
+        results.append(("pow_p_inv", B, _exe_stats(comp), dt))
+
+        lowered = jax.jit(pcv.pt_add_flat).lower(px, py, pz, px, py, pz)
+        comp = lowered.compile()
+        dt = _time_call(comp, px, py, pz, px, py, pz)
+        results.append(("pt_add", B, _exe_stats(comp), dt))
+
+        st = jnp.asarray(rng.integers(0, 256, size=(200, B), dtype=np.uint32))
+        lowered = jax.jit(pk.f1600_flat).lower(st)
+        comp = lowered.compile()
+        dt = _time_call(comp, st)
+        results.append(("keccak", B, _exe_stats(comp), dt))
+
+    for name, B, code, dt in results:
+        code_mb = f"{code/1e6:8.2f} MB" if code else "   n/a  "
+        print(
+            f"{name:10s} B={B:6d}  code={code_mb}  t={dt*1e3:9.3f} ms  "
+            f"({dt/B*1e9:8.1f} ns/lane)"
+        )
+
+
+def run_verify():
+    import jax
+
+    from bppp_tpu.models import u64_fixture
+    from bppp_tpu.oracle.merlin import Transcript as HostTranscript
+    from bppp_tpu.protocol import convert as cv
+    from bppp_tpu.transcript.device import Transcript as DevTranscript
+    from bppp_tpu.utils.rng import SeededRng
+
+    B = int(os.environ.get("BPPP_BENCH_BATCH", 512))
+    public, dev, rng = u64_fixture("bench generators", B)
+    x, s = 0xDEADBEEFCAFEBABE, rng.scalar()
+    com = public.commit_value(x, s)
+    proof = public.prove(x, s, HostTranscript(b"u64 range proof"), rng)
+    pb = cv.reciprocal_proofs_to_bytes([proof] * B)
+    com_bytes = cv.point_bytes([com] * B)
+    dev = jax.device_put(dev)
+    pb = jax.device_put(pb)
+    com_bytes = jax.device_put(com_bytes)
+
+    def verify_fn(dev, com_bytes, pb):
+        t = DevTranscript(b"u64 range proof", batch=(B,))
+        return dev.verify(com_bytes, t, pb, fast=True)
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(verify_fn).lower(dev, com_bytes, pb)
+    print(f"trace+lower: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    comp = lowered.compile()
+    print(f"compile: {time.perf_counter()-t0:.1f}s")
+    code = _exe_stats(comp)
+    print(f"generated code size: {code/1e6 if code else -1:.2f} MB")
+    ok = comp(dev, com_bytes, pb)
+    print("verify ok:", bool(np.asarray(ok).all()))
+    dt = _time_call(comp, dev, com_bytes, pb)
+    print(f"steady-state: {dt*1e3:.2f} ms/call -> {B/dt:.0f} verifies/s")
+
+    hlo = lowered.as_text()
+    from collections import Counter
+
+    calls = Counter()
+    for m in re.finditer(r"tpu_custom_call[^\n]*", hlo):
+        pass
+    # census over the compiled HLO for accuracy
+    try:
+        txt = comp.as_text()
+    except Exception:
+        txt = hlo
+    for m in re.finditer(r"custom_call_target=\"([^\"]+)\"", txt):
+        calls[m.group(1)] += 1
+    print("custom calls:", dict(calls))
+
+
+def run_law():
+    """Per-call cost vs code size: N distinct trivial pallas kernels
+    chained in one jit program."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bppp_tpu.ops import pallas_field as pf
+
+    B = 2048
+
+    def mk(i):
+        def kern(x_ref, o_ref):
+            a = x_ref[:].reshape(16, B // 128, 128)
+            # one modular multiply + a unique constant (prevents dedup)
+            o = pf.mul_p(a, a) + np.uint32(i)
+            o_ref[:] = o.reshape(16, B)
+
+        def call(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((16, B), jnp.uint32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x)
+
+        return call
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 1 << 16, size=(16, B), dtype=np.uint32))
+    for n in (1, 4, 16, 64):
+        calls = [mk(i) for i in range(n)]
+
+        def prog(x):
+            for c in calls:
+                x = c(x)
+            return x
+
+        comp = jax.jit(prog).lower(x).compile()
+        code = _exe_stats(comp)
+        dt = _time_call(comp, x)
+        print(
+            f"n={n:3d} kernels  code={code/1e6 if code else -1:8.2f} MB  "
+            f"t={dt*1e3:8.3f} ms"
+        )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "kernels"
+    {"kernels": run_kernels, "verify": run_verify, "law": run_law}[mode]()
