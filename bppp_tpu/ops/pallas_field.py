@@ -226,6 +226,59 @@ def pt_dbl(X, Y, Z):
     return X3, Y3, Z3
 
 
+def pt_add_mixed(px, py, pz, qx, qy):
+    """Complete masked mixed add: p (Jacobian, stacked coords) + q
+    (affine, z=1 implied; all-zero coords = identity). madd-2007-bl
+    shape — saves the Z2Z2/S1 scalings of the full add. Mirrors
+    curve.pt_add_mixed semantics."""
+    Z1Z1 = mul_p(pz, pz)
+    U2 = mul_p(qx, Z1Z1)
+    S2 = mul_p(qy, mul_p(pz, Z1Z1))
+    H = sub_p(U2, px)
+    r = sub_p(S2, py)
+    HH = mul_p(H, H)
+    HHH = mul_p(H, HH)
+    V = mul_p(px, HH)
+    rr = mul_p(r, r)
+    X3 = sub_p(sub_p(rr, HHH), add_p(V, V))
+    Y3 = sub_p(mul_p(r, sub_p(V, X3)), mul_p(py, HHH))
+    Z3 = mul_p(pz, H)
+
+    h_zero = is_zero(H)
+    r_zero = is_zero(r)
+    p_id = is_zero(pz)
+    q_id = jnp.logical_and(is_zero(qx), is_zero(qy))
+
+    dX, dY, dZ = pt_dbl(px, py, pz)
+    dbl_m = jnp.logical_and(
+        jnp.logical_not(p_id), jnp.logical_and(h_zero, r_zero)
+    )
+    X3 = select(dbl_m, dX, X3)
+    Y3 = select(dbl_m, dY, Y3)
+    Z3 = select(dbl_m, dZ, Z3)
+
+    zero = jnp.zeros_like(px)
+    one = jnp.pad(
+        jnp.ones((1,) + px.shape[1:], jnp.uint32),
+        [(0, 15)] + [(0, 0)] * (px.ndim - 1),
+    )
+    inv_m = jnp.logical_and(
+        jnp.logical_not(p_id), jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+    )
+    X3 = select(inv_m, zero, X3)
+    Y3 = select(inv_m, one, Y3)
+    Z3 = select(inv_m, zero, Z3)
+
+    # p identity -> q (affine lift); q identity -> p — q_id wins when both
+    X3 = select(p_id, qx, X3)
+    Y3 = select(p_id, qy, Y3)
+    Z3 = select(p_id, one, Z3)
+    X3 = select(q_id, px, X3)
+    Y3 = select(q_id, py, Y3)
+    Z3 = select(q_id, pz, Z3)
+    return X3, Y3, Z3
+
+
 def pt_add(px, py, pz, qx, qy, qz):
     """Complete masked Jacobian add, stacked coords — mirrors curve.pt_add."""
     Z1Z1 = mul_p(pz, pz)

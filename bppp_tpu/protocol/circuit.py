@@ -128,6 +128,7 @@ class ArithmeticCircuitDevice:
         g_vec_: PointJ,
         h_vec_: PointJ,
         partition: Partition,
+        tables=None,
     ):
         self.dim_nm, self.dim_no, self.k = dim_nm, dim_no, k
         self.dim_nl, self.dim_nv, self.dim_nw = dim_nl, dim_nv, dim_nw
@@ -138,6 +139,10 @@ class ArithmeticCircuitDevice:
         self.f_l, self.f_m = f_l, f_m
         self.partition = partition
         self.batch = g.x.shape[1:]
+        # fixed-base window tables (ops/fixed_base.py): dict with 'gv'
+        # ([g | g_vec]) for this layer's fast MSM and 'full'
+        # ([g | h_vec+h_vec_ | g_vec+g_vec_]) for the WNLA final MSM.
+        self.tables = tables
 
     # -- public API (circuit.rs:146-151) --------------------------------
 
@@ -256,25 +261,28 @@ class ArithmeticCircuitDevice:
             [tau_inv, f.fn_neg(delta), tau, f.fn_neg(tau2)], axis=1
         )
         if fast:
-            # ONE shared-window MSM: P_t's terms, the C_* folds, and the
-            # committed-v combination together (SURVEY.md §3.2 rewrite).
-            pts = pv.pv_concat(
-                [
-                    pv.single(self.g),
-                    self.g_vec,
-                    pv.pv_concat([pv.single(p) for p in (cs, co, cl, cr)]),
-                    v,
-                ]
+            # ONE MSM: P_t's terms, the C_* folds, and the committed-v
+            # combination together (SURVEY.md §3.2 rewrite). Fixed part
+            # [g | g_vec] rides the precomputed window tables.
+            from ..ops import fixed_base as fb
+
+            fixed_pts = pv.pv_concat([pv.single(self.g), self.g_vec])
+            fixed_scs = sv.sv_concat(
+                [ps_tau[:, None], sv.sv_pad(pn_tau, pv.pv_len(self.g_vec))]
             )
-            scs = sv.sv_concat(
-                [
-                    ps_tau[:, None],
-                    sv.sv_pad(pn_tau, pv.pv_len(self.g_vec)),
-                    fold_scs,
-                    f.fn_mul(v_coefs, tau3[:, None]),
-                ]
+            dyn_pts = pv.pv_concat(
+                [pv.single(p) for p in (cs, co, cl, cr)] + [v]
             )
-            commitment = dc.msm_straus(pts, scs)
+            dyn_scs = sv.sv_concat(
+                [fold_scs, f.fn_mul(v_coefs, tau3[:, None])]
+            )
+            commitment = fb.msm_mixed(
+                self.tables.get("gv") if self.tables else None,
+                fixed_pts,
+                fixed_scs,
+                dyn_pts,
+                dyn_scs,
+            )
         else:
             # P_t = ps*g + <g_vec, pn>, then the commitment fold
             fold_pts = pv.pv_concat([pv.single(p) for p in (cs, co, cl, cr, v_)])
@@ -290,6 +298,7 @@ class ArithmeticCircuitDevice:
             ),
             rho=rho,
             mu=mu,
+            tables=self.tables.get("full") if self.tables else None,
         )
         if fast:
             return wnla.verify_fast(commitment, t, proof.wnla, xr=xr)

@@ -69,10 +69,12 @@ class ReciprocalRangeProofDevice:
         h_vec: PointJ,
         g_vec_: PointJ,
         h_vec_: PointJ,
+        tables=None,
     ):
         self.dim_nd, self.dim_np = dim_nd, dim_np
         self.g, self.g_vec, self.h_vec = g, g_vec, h_vec
         self.g_vec_, self.h_vec_ = g_vec_, h_vec_
+        self.tables = tables  # fixed-base window tables (circuit layer)
         self.batch = g.x.shape[1:]
 
     def commit_value(self, x, s) -> PointJ:
@@ -247,6 +249,7 @@ class ReciprocalRangeProofDevice:
             g_vec_=self.g_vec_,
             h_vec_=self.h_vec_,
             partition=partition,
+            tables=self.tables,
         )
 
 

@@ -45,10 +45,14 @@ class U64RangeProofDevice:
     re-upload them on every execute (measured ~150 ms/call on the
     tunneled v5e vs ~0.3 ms with device-resident arguments)."""
 
-    def __init__(self, g: PointJ, g_vec: PointJ, h_vec: PointJ):
+    def __init__(self, g: PointJ, g_vec: PointJ, h_vec: PointJ, tables=None):
         assert pv.pv_len(g_vec) == G_VEC_FULL_SZ
         assert pv.pv_len(h_vec) == H_VEC_FULL_SZ
         self.g, self.g_vec, self.h_vec = g, g_vec, h_vec
+        # Optional fixed-base window tables (ops/fixed_base.build_tables
+        # over [g | h_vec | g_vec]): {'full': 49-point set for the WNLA
+        # final MSM, 'gv': [g | g_vec] subset for the circuit fast MSM}.
+        self.tables = tables
 
     @property
     def batch(self):
@@ -65,6 +69,7 @@ class U64RangeProofDevice:
             h_vec=PointJ(*(a[:, :H_VEC_CIRCUIT_SZ] for a in self.h_vec)),
             g_vec_=empty,
             h_vec_=PointJ(*(a[:, H_VEC_CIRCUIT_SZ:] for a in self.h_vec)),
+            tables=self.tables,
         )
 
     def commit_value(self, x_words, s) -> PointJ:
@@ -96,13 +101,35 @@ class U64RangeProofDevice:
 
 
 def _u64_flatten(d):
-    return ((d.g, d.g_vec, d.h_vec), None)
+    return ((d.g, d.g_vec, d.h_vec, d.tables), None)
 
 
 def _u64_unflatten(aux, kids):
     obj = object.__new__(U64RangeProofDevice)
-    obj.g, obj.g_vec, obj.h_vec = kids
+    obj.g, obj.g_vec, obj.h_vec, obj.tables = kids
     return obj
+
+
+def build_u64_tables(g: PointJ, g_vec: PointJ, h_vec: PointJ):
+    """Fixed-base window tables for a u64 generator set. Inputs are the
+    UNBATCHED device points (coords (16,) / (16, L)). -> dict pytree for
+    U64RangeProofDevice(tables=...)."""
+    import jax.numpy as jnp
+
+    from ..ops import fixed_base as fb
+
+    pts = PointJ(
+        *(
+            jnp.concatenate([a[:, None], b, c], axis=1)
+            for a, b, c in zip(g, h_vec, g_vec)
+        )
+    )  # [g | h(32) | g_vec(16)] -> (16, 49)
+    tx, ty = fb.build_tables(pts)
+    gv = tuple(
+        jnp.concatenate([t[..., :1], t[..., 1 + H_VEC_FULL_SZ :]], axis=-1)
+        for t in (tx, ty)
+    )
+    return {"full": (tx, ty), "gv": gv}
 
 
 jax.tree_util.register_pytree_node(U64RangeProofDevice, _u64_flatten, _u64_unflatten)

@@ -86,7 +86,10 @@ class WNLADevice:
     g: PointJ (16, *batch); g_vec/h_vec: PointJ (16, L, *batch);
     c_vec: (16, Lh, *batch) limbs; rho/mu: (16, *batch) limbs."""
 
-    def __init__(self, g: PointJ, g_vec: PointJ, h_vec: PointJ, c_vec, rho, mu):
+    def __init__(
+        self, g: PointJ, g_vec: PointJ, h_vec: PointJ, c_vec, rho, mu,
+        tables=None,
+    ):
         self.g = g
         self.g_vec = g_vec
         self.h_vec = h_vec
@@ -94,6 +97,9 @@ class WNLADevice:
         self.rho = rho
         self.mu = mu
         self.batch = g.x.shape[1:]
+        # fixed-base window tables for [g | h_vec | g_vec] (ops/fixed_base
+        # .py) — used by verify_fast's final MSM when present
+        self.tables = tables
 
     # -- commitment (wnla.rs:66-72) -------------------------------------
 
@@ -275,13 +281,13 @@ class WNLADevice:
         neg_y2m1 = f.fn_neg(f.fn_sub(f.fn_mul(last_y, last_y), one))
         x0 = PointJ(*(a[:, 0] for a in xs))
         r0 = PointJ(*(a[:, 0] for a in rs))
-        pts = pv.pv_concat(
-            [pv.single(self.g), self.h_vec, self.g_vec, pv.single(x0), pv.single(r0)]
-        )
-        scs = sv.sv_concat(
-            [v_final[:, None], a_coef, b_coef, neg_y[:, None], neg_y2m1[:, None]]
-        )
-        rhs = c.msm_straus(pts, scs)
+        from ..ops import fixed_base as fb
+
+        fixed_pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
+        fixed_scs = sv.sv_concat([v_final[:, None], a_coef, b_coef])
+        dyn_pts = pv.pv_concat([pv.single(x0), pv.single(r0)])
+        dyn_scs = sv.sv_concat([neg_y[:, None], neg_y2m1[:, None]])
+        rhs = fb.msm_mixed(self.tables, fixed_pts, fixed_scs, dyn_pts, dyn_scs)
         return c.pt_eq(C, rhs)
 
     # -- internals --------------------------------------------------------

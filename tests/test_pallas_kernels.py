@@ -133,6 +133,37 @@ def test_pt_add_double_kernels(rng):
         assert gotd[i].eq(ps[i].double()), f"double lane {i}"
 
 
+def test_fixed_base_msm_vs_oracle(rng):
+    """build_tables + select_planes + plane_accum == [s_i] G_i, using a
+    small F*B that still tiles (F=4, B=128 -> 512 lanes)."""
+    import jax
+
+    from bppp_tpu.ops import curve as dc
+    from bppp_tpu.ops import fixed_base as fb
+
+    F, B = 4, 128
+    base_pts = _rand_points(rng, F)
+    pts = dc.from_int_points(base_pts)  # (16, F)
+    tables = jax.jit(fb.build_tables)(pts)
+
+    ks = [_rand_wide(rng, of.N, B) for _ in range(F)]
+    ks[0][0] = 0  # digit-0-everywhere lane -> identity
+    ks[1][1] = 1
+    scal = jnp.stack(
+        [jnp.asarray(f.ints_to_limbs(krow)) for krow in ks], axis=1
+    )  # (16, F, B)
+    out = fb.msm_fixed(tables, scal)
+    assert out is not None
+    for i, p in [(0, 0), (0, 5), (1, 1), (3, 127)]:
+        got = [oc.Point(*coords) for coords in zip(
+            f.limbs_to_ints(np.asarray(out.x[:, i, p : p + 1])),
+            f.limbs_to_ints(np.asarray(out.y[:, i, p : p + 1])),
+            f.limbs_to_ints(np.asarray(out.z[:, i, p : p + 1])),
+        )][0]
+        want = base_pts[i].mul(ks[i][p])
+        assert got.eq(want), f"point {i} lane {p}"
+
+
 def test_keccak_kernel_vs_oracle(rng):
     states = rng.integers(0, 256, size=(200, TILE), dtype=np.uint32)
     out = np.asarray(pk.f1600_flat(jnp.asarray(states)))

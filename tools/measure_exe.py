@@ -161,6 +161,129 @@ def run_verify():
     print("custom calls:", dict(calls))
 
 
+def run_chain():
+    """Data-dependent chained calls: per-call cost that async dispatch
+    cannot hide (each call consumes the previous call's output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bppp_tpu.ops import pallas_curve as pcv
+    from bppp_tpu.ops import pallas_keccak as pk
+    from bppp_tpu.ops import pallas_msm as pm
+    from bppp_tpu.oracle.field import P as P_INT
+
+    rng = np.random.default_rng(0)
+
+    def limbs(B):
+        return jnp.asarray(rng.integers(0, 1 << 16, size=(16, B), dtype=np.uint32))
+
+    reps = int(os.environ.get("REPS", 16))
+    for B in (512, 4096, 32768):
+        px, py, pz, k = limbs(B), limbs(B), limbs(B), limbs(B)
+
+        # ladder chain: outputs become next base point
+        comp = jax.jit(pm.scalar_mul_flat).lower(px, py, pz, k).compile()
+        out = comp(px, py, pz, k)
+        np.asarray(out[0])
+        t0 = time.perf_counter()
+        cur = (px, py, pz)
+        for _ in range(reps):
+            cur = comp(*cur, k)
+        np.asarray(cur[0])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"ladder  B={B:6d}  t={dt*1e3:9.3f} ms  ({dt/B*1e9:8.1f} ns/lane)")
+
+        # pt_add chain
+        comp = jax.jit(pcv.pt_add_flat).lower(px, py, pz, px, py, pz).compile()
+        out = comp(px, py, pz, px, py, pz)
+        np.asarray(out[0])
+        t0 = time.perf_counter()
+        cur = (px, py, pz)
+        for _ in range(reps):
+            cur = comp(*cur, px, py, pz)
+        np.asarray(cur[0])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"pt_add  B={B:6d}  t={dt*1e3:9.3f} ms  ({dt/B*1e9:8.1f} ns/lane)")
+
+        # pow chain
+        powf = jax.jit(lambda x: pm.pow_const_flat(x, P_INT - 2, "p"))
+        comp = powf.lower(px).compile()
+        out = comp(px)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        cur = px
+        for _ in range(reps):
+            cur = comp(cur)
+        np.asarray(cur)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"pow_p   B={B:6d}  t={dt*1e3:9.3f} ms  ({dt/B*1e9:8.1f} ns/lane)")
+
+        # keccak chain
+        st = jnp.asarray(rng.integers(0, 256, size=(200, B), dtype=np.uint32))
+        comp = jax.jit(pk.f1600_flat).lower(st).compile()
+        out = comp(st)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        cur = st
+        for _ in range(reps):
+            cur = comp(cur)
+        np.asarray(cur)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"keccak  B={B:6d}  t={dt*1e3:9.3f} ms  ({dt/B*1e9:8.1f} ns/lane)")
+
+
+def run_census():
+    """Trace+lower the fast verifier (no compile) and attribute code size
+    to each tpu_custom_call site via its backend-config blob length."""
+    import jax
+
+    from bppp_tpu.models import u64_fixture
+    from bppp_tpu.oracle.merlin import Transcript as HostTranscript
+    from bppp_tpu.protocol import convert as cv
+    from bppp_tpu.transcript.device import Transcript as DevTranscript
+
+    B = int(os.environ.get("BPPP_BENCH_BATCH", 512))
+    public, dev, rng = u64_fixture("bench generators", B)
+    x, s = 0xDEADBEEFCAFEBABE, rng.scalar()
+    com = public.commit_value(x, s)
+    proof = public.prove(x, s, HostTranscript(b"u64 range proof"), rng)
+    pb = cv.reciprocal_proofs_to_bytes([proof] * B)
+    com_bytes = cv.point_bytes([com] * B)
+
+    def verify_fn(dev, com_bytes, pb):
+        t = DevTranscript(b"u64 range proof", batch=(B,))
+        return dev.verify(com_bytes, t, pb, fast=True)
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(verify_fn).lower(dev, com_bytes, pb)
+    print(f"trace+lower: {time.perf_counter()-t0:.1f}s")
+    txt = lowered.as_text()
+    print(f"stablehlo text: {len(txt)/1e6:.1f} MB")
+
+    # stablehlo custom_call: @tpu_custom_call with kernel_name in config
+    sites = []
+    for m in re.finditer(r"stablehlo\.custom_call @tpu_custom_call\(([^)]*)\)[^\n]*", txt):
+        line = m.group(0)
+        km = re.search(r'kernel_name\\22:\s*\\22([A-Za-z0-9_]+)', line) or re.search(
+            r'kernel_name[^A-Za-z0-9_]+([A-Za-z0-9_]+)', line
+        )
+        name = km.group(1) if km else "?"
+        shp = re.findall(r"tensor<([0-9x]+)xui32>", line)
+        sites.append((name, tuple(shp[:4]), len(line)))
+    from collections import Counter, defaultdict
+
+    by = defaultdict(lambda: [0, 0])
+    for name, shp, sz in sites:
+        key = (name, shp)
+        by[key][0] += 1
+        by[key][1] += sz
+    total = 0
+    for (name, shp), (cnt, sz) in sorted(by.items(), key=lambda kv: -kv[1][1]):
+        total += sz
+        print(f"{name:28s} x{cnt:3d}  {sz/1e6:8.2f} MB  shapes={shp}")
+    print(f"total custom-call text: {total/1e6:.1f} MB over {len(sites)} sites")
+
+
 def run_law():
     """Per-call cost vs code size: N distinct trivial pallas kernels
     chained in one jit program."""
@@ -172,13 +295,15 @@ def run_law():
     from bppp_tpu.ops import pallas_field as pf
 
     B = 2048
+    body_muls = int(os.environ.get("BODY_MULS", 1))
 
     def mk(i):
         def kern(x_ref, o_ref):
             a = x_ref[:].reshape(16, B // 128, 128)
-            # one modular multiply + a unique constant (prevents dedup)
-            o = pf.mul_p(a, a) + np.uint32(i)
-            o_ref[:] = o.reshape(16, B)
+            # unique constants prevent dedup; BODY_MULS scales body size
+            for j in range(body_muls):
+                a = pf.mul_p(a, a + np.uint32(i * body_muls + j + 1))
+            o_ref[:] = a.reshape(16, B)
 
         def call(x):
             return pl.pallas_call(
@@ -192,7 +317,8 @@ def run_law():
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 1 << 16, size=(16, B), dtype=np.uint32))
-    for n in (1, 4, 16, 64):
+    ns = [int(v) for v in os.environ.get("LAW_NS", "1,4,16,64").split(",")]
+    for n in ns:
         calls = [mk(i) for i in range(n)]
 
         def prog(x):
@@ -211,4 +337,10 @@ def run_law():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "kernels"
-    {"kernels": run_kernels, "verify": run_verify, "law": run_law}[mode]()
+    {
+        "kernels": run_kernels,
+        "verify": run_verify,
+        "law": run_law,
+        "chain": run_chain,
+        "census": run_census,
+    }[mode]()
