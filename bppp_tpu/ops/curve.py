@@ -396,10 +396,38 @@ def msm(points: PointJ, scalars) -> PointJ:
     """Multi-scalar multiplication: sum_i [s_i] P_i.
 
     points: coords (16, L, *batch); scalars: (16, L, *batch) F_n limbs.
-    The scalar ladders run simultaneously across the L axis (it lives in
-    the batch lanes), then one tree reduction. This is the TPU
-    replacement for the reference's naive per-term loop (util.rs:46-60)."""
+    Small L (the verifier's per-round folds and commitment-chain MSMs)
+    dispatches to a single shared-window kernel (pallas_msm.msm_small_
+    flat: 256 + 78L point ops on B lanes instead of 334 ops on L*B
+    ladder lanes). Larger L runs the per-lane ladder + tree reduction.
+    This replaces the reference's naive per-term loop (util.rs:46-60)."""
+    if _pallas_enabled():
+        out = _msm_small(points, scalars)
+        if out is not None:
+            return out
     return pt_sum(pt_scalar_mul(points, scalars), axis=1)
+
+
+def _msm_small(points: PointJ, scalars) -> PointJ | None:
+    """Shared-window kernel path for L <= 6 points; None if not viable."""
+    from . import pallas_msm as pm
+
+    L = points.x.shape[1]
+    if not (1 <= L <= 6):
+        return None
+    batch = points.x.shape[2:]
+    prod = 1
+    for d in batch:
+        prod *= d
+    if prod < pm.TILE or prod % pm.TILE != 0:
+        return None
+    kk = jnp.broadcast_to(scalars, points.x.shape)
+
+    def re(c):
+        return jnp.moveaxis(c, 1, 0).reshape(L, 16, prod)
+
+    outs = pm.msm_small_flat(re(points.x), re(points.y), re(points.z), re(kk))
+    return PointJ(*(o.reshape((16,) + batch) for o in outs))
 
 
 def _tree_sum_axis1(p: PointJ) -> PointJ:

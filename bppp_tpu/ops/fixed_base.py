@@ -38,9 +38,9 @@ N_ENT = 16
 
 def build_tables(points):
     """points: PointJ coords (16, F) — unbatched fixed generators.
-    -> (tx, ty): float32 (64, 16, 16, F) window tables, entry 0 = (0, 0)
-    (identity sentinel; the kernel's mixed add treats all-zero affine
-    coords as the identity)."""
+    -> (tx, ty): uint32 (64, 16, 16, F) window tables (window, entry,
+    limb, point), entry 0 = (0, 0) (identity sentinel; the kernel's
+    mixed add treats all-zero affine coords as the identity)."""
     from . import curve as dc
 
     F = points.x.shape[1]
@@ -68,9 +68,11 @@ def build_tables(points):
     zero = jnp.zeros((16, N_WINDOWS, 1, F), jnp.uint32)
     tx = jnp.concatenate([zero, ax], axis=2)  # entry 0 = identity sentinel
     ty = jnp.concatenate([zero, ay], axis=2)
-    # -> (64, 16ent, 16limb, F) float32 for the MXU selection einsum
-    tx = tx.transpose(1, 2, 0, 3).astype(jnp.float32)
-    ty = ty.transpose(1, 2, 0, 3).astype(jnp.float32)
+    # -> (F, 64, 16ent, 16limb): the kernel streams one (f, w) table
+    # block into SMEM per grid step and splats entries as scalars (the
+    # last two block dims equal the array dims, as Mosaic requires)
+    tx = tx.transpose(3, 1, 2, 0)
+    ty = ty.transpose(3, 1, 2, 0)
     return tx, ty
 
 
@@ -82,32 +84,14 @@ def _digits(scalars):
     return jnp.stack(rows, axis=0)
 
 
-def select_planes(tx, ty, scalars):
-    """MXU one-hot selection: -> (qx, qy) uint32 (64, 16, F*B) — the
-    affine point plane added per window. Exact: table limbs < 2^16 and
-    one-hot rows have a single 1, so every f32 dot is a single exact
-    16-bit value."""
-    F = tx.shape[-1]
-    B = scalars.shape[-1]
-    d = _digits(scalars)  # (64, F, B)
-    oh = (d[..., None] == jnp.arange(N_ENT, dtype=jnp.uint32)).astype(jnp.float32)
-    # Precision.HIGHEST: TPU f32 matmuls default to one bf16 MXU pass
-    # (8-bit mantissa) which would truncate 16-bit limbs; the multi-pass
-    # f32 scheme is exact for limb values < 2^16 x a one-hot operand.
-    qx = jnp.einsum(
-        "welf,wfbe->wlfb", tx, oh, precision=jax.lax.Precision.HIGHEST
-    )
-    qy = jnp.einsum(
-        "welf,wfbe->wlfb", ty, oh, precision=jax.lax.Precision.HIGHEST
-    )
-    return (
-        qx.astype(jnp.uint32).reshape(N_WINDOWS, 16, F * B),
-        qy.astype(jnp.uint32).reshape(N_WINDOWS, 16, F * B),
-    )
-
-
-def _plane_accum_kernel(qx_ref, qy_ref, ox, oy, oz, ax, ay, az):
-    w = pl.program_id(1)
+def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
+    """Grid (F, B/TILE, 64 windows). Each step selects this window's
+    table entry per lane (entries are SMEM scalars — every lane in a
+    tile shares one generator — splatted under the digit masks) and does
+    ONE complete mixed add into the scratch accumulator. No doubles, no
+    materialized selection planes: the one-hot-einsum selection this
+    replaces spent ~73 ms/call in XLA slice/pad/reshape glue."""
+    w = pl.program_id(2)
 
     @pl.when(w == 0)
     def _():
@@ -115,11 +99,25 @@ def _plane_accum_kernel(qx_ref, qy_ref, ox, oy, oz, ax, ay, az):
         ay[:] = jnp.pad(jnp.ones((1, TILE), jnp.uint32), [(0, 15), (0, 0)])
         az[:] = jnp.zeros((16, TILE), jnp.uint32)
 
+    d = dig_ref[0, 0, 0]  # (SUB, 128) digits of this (f, b, w)
+    masks = [d == e for e in range(1, N_ENT)]
+
+    rows_x = []
+    rows_y = []
+    for l in range(16):
+        rx = jnp.zeros((_SUB, 128), jnp.uint32)
+        ry = jnp.zeros((_SUB, 128), jnp.uint32)
+        for e in range(1, N_ENT):
+            rx = rx + jnp.where(masks[e - 1], tabx_ref[0, 0, e, l], 0)
+            ry = ry + jnp.where(masks[e - 1], taby_ref[0, 0, e, l], 0)
+        rows_x.append(rx)
+        rows_y.append(ry)
+    qx = jnp.stack(rows_x, axis=0)  # d == 0 -> all-zero = identity
+    qy = jnp.stack(rows_y, axis=0)
+
     X = ax[:].reshape(16, _SUB, 128)
     Y = ay[:].reshape(16, _SUB, 128)
     Z = az[:].reshape(16, _SUB, 128)
-    qx = qx_ref[:].reshape(16, _SUB, 128)
-    qy = qy_ref[:].reshape(16, _SUB, 128)
     nX, nY, nZ = pf.pt_add_mixed(X, Y, Z, qx, qy)
     ax[:] = nX.reshape(16, TILE)
     ay[:] = nY.reshape(16, TILE)
@@ -130,22 +128,35 @@ def _plane_accum_kernel(qx_ref, qy_ref, ox, oy, oz, ax, ay, az):
 
 
 @jax.jit
-def plane_accum_flat(qx, qy):
-    """qx/qy: (64, 16, L) affine planes -> 3x (16, L) Jacobian sums
-    (64 complete mixed adds per lane, one kernel body)."""
-    L = qx.shape[2]
-    spec_in = pl.BlockSpec((1, 16, TILE), lambda t, w: (w, 0, t))
-    spec_out = pl.BlockSpec((16, TILE), lambda t, w: (0, t))
-    out = jax.ShapeDtypeStruct((16, L), jnp.uint32)
+def fixed_msm_flat(tx, ty, dig):
+    """tx/ty: (F, 64, 16, 16) u32 tables; dig: (64, F, nb, SUB, 128)
+    window digits -> 3x (16, F*B) Jacobian [k_i]G_i per (i, b) lane."""
+    F = tx.shape[0]
+    nb = dig.shape[2]
+    B = nb * TILE
+    tab_spec = pl.BlockSpec(
+        (1, 1, N_ENT, 16),
+        lambda f, b, w: (f, w, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    dig_spec = pl.BlockSpec(
+        (1, 1, 1, _SUB, 128),
+        lambda f, b, w: (w, f, b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (16, TILE), lambda f, b, w: (0, f * nb + b), memory_space=pltpu.VMEM
+    )
+    out = jax.ShapeDtypeStruct((16, F * B), jnp.uint32)
     return pl.pallas_call(
-        _plane_accum_kernel,
-        grid=(L // TILE, N_WINDOWS),
-        in_specs=[spec_in, spec_in],
-        out_specs=[spec_out] * 3,
+        _fixed_msm_kernel,
+        grid=(F, nb, N_WINDOWS),
+        in_specs=[tab_spec, tab_spec, dig_spec],
+        out_specs=[out_spec] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[pltpu.VMEM((16, TILE), jnp.uint32)] * 3,
         interpret=INTERPRET(),
-    )(qx, qy)
+    )(tx, ty, dig)
 
 
 def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
@@ -159,16 +170,9 @@ def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
     if tables is not None and dc._pallas_enabled():
         fixed = msm_fixed(tables, fixed_scalars)
         if fixed is not None:
-            dyn = dc.pt_scalar_mul(
-                dyn_points, jnp.broadcast_to(dyn_scalars, dyn_points.x.shape)
-            )
-            allp = dc.PointJ(
-                *(
-                    jnp.concatenate([a, b], axis=1)
-                    for a, b in zip(fixed, dyn)
-                )
-            )
-            return dc.pt_sum(allp, axis=1)
+            # dynamic points ride the shared-window small-MSM kernel
+            dyn_sum = dc.msm(dyn_points, dyn_scalars)
+            return dc.pt_add(dc.pt_sum(fixed, axis=1), dyn_sum)
     pts = dc.PointJ(
         *(
             jnp.concatenate([a, b], axis=1)
@@ -187,14 +191,15 @@ def msm_fixed(tables, scalars):
     from .curve import PointJ
 
     tx, ty = tables
-    F = tx.shape[-1]
+    F = tx.shape[0]
     if scalars.ndim != 3 or scalars.shape[1] != F:
         return None
     B = scalars.shape[-1]
-    if (F * B) % TILE != 0:
-        return None
-    qx, qy = select_planes(tx, ty, scalars)
-    sx, sy, sz = plane_accum_flat(qx, qy)
+    if B % TILE != 0:
+        return None  # per-generator lane tiles need B to tile
+    nb = B // TILE
+    dig = _digits(scalars).reshape(N_WINDOWS, F, nb, _SUB, 128)
+    sx, sy, sz = fixed_msm_flat(tx, ty, dig)
     return PointJ(
         sx.reshape(16, F, B), sy.reshape(16, F, B), sz.reshape(16, F, B)
     )

@@ -210,6 +210,118 @@ def scalar_mul_flat(px, py, pz, k):
     )(px, py, pz, k)
 
 
+# -- small shared-window MSM (dynamic points) ---------------------------------
+
+def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
+    """sum_i [k_i] P_i over a SMALL static D of per-proof points, one
+    kernel: in-VMEM 4-bit tables per point, one shared MSB-first window
+    walk (4 doubles + D table adds per window). Replaces D*B-lane
+    ladders (334 ops/lane) with 256 + 78*D ops on B lanes. Loops over D
+    are fori with dynamic scratch indexing so the binary holds ONE
+    table-build add, ONE walk add, and ONE double site."""
+    D = px.shape[0]
+    zero3 = jnp.zeros((16, _SUB, 128), jnp.uint32)
+    one3 = jnp.pad(
+        jnp.ones((1, _SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+    )
+
+    def ld_pt(i):
+        return (
+            px[i].reshape(16, _SUB, 128),
+            py[i].reshape(16, _SUB, 128),
+            pz[i].reshape(16, _SUB, 128),
+        )
+
+    # digits, MSB-first planes per point: dig[i*64 + w]
+    def dig_body(i, _):
+        kk = k_ref[i]  # (16, TILE)
+        planes = jnp.stack(
+            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(63, -1, -1)],
+            axis=0,
+        )
+        dig[pl.ds(i * 64, 64)] = planes
+        return 0
+
+    jax.lax.fori_loop(0, D, dig_body, 0)
+
+    # tables: tab[i*16 + d] = [d] P_i
+    def tab_i(i, _):
+        X, Y, Z = ld_pt(i)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, TILE)
+
+        def ent_body(d, _):
+            cx = tabx[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, _SUB, 128)
+            nx, ny, nz = pf.pt_add(cx, cy, cz, X, Y, Z)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, TILE)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, TILE)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, TILE)
+            return 0
+
+        jax.lax.fori_loop(2, 16, ent_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, D, tab_i, 0)
+
+    # window walk
+    def walk(w, acc):
+        sx, sy, sz = acc
+
+        def dstep(_, st):
+            return pf.pt_dbl(*st)
+
+        sx, sy, sz = jax.lax.fori_loop(0, 4, dstep, (sx, sy, sz))
+
+        def add_i(i, st):
+            sx, sy, sz = st
+            d = dig[i * 64 + w].reshape(_SUB, 128)
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            qx = _tab_select(ents_x, d)
+            qy = _tab_select(ents_y, d)
+            qz = _tab_select(ents_z, d)
+            return pf.pt_add(sx, sy, sz, qx, qy, qz)
+
+        return jax.lax.fori_loop(0, D, add_i, (sx, sy, sz))
+
+    sx, sy, sz = jax.lax.fori_loop(0, 64, walk, (zero3, one3, zero3))
+    _st(ox, sx)
+    _st(oy, sy)
+    _st(oz, sz)
+
+
+@jax.jit
+def msm_small_flat(px, py, pz, k):
+    """(D, 16, B) coords/scalars -> 3x (16, B): reduced small MSM."""
+    D, _, B = px.shape
+    spec_in = pl.BlockSpec(
+        (D, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
+    return pl.pallas_call(
+        _msm_small_kernel,
+        grid=(B // TILE,),
+        in_specs=[spec_in] * 4,
+        out_specs=[spec_out] * 3,
+        out_shape=[out] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 64, TILE), jnp.uint32),
+        ],
+        interpret=INTERPRET(),
+    )(px, py, pz, k)
+
+
 # -- fused reduction over a points axis ---------------------------------------
 
 def _tree_kernel(L: int, px, py, pz, ox, oy, oz):

@@ -129,6 +129,7 @@ class ArithmeticCircuitDevice:
         h_vec_: PointJ,
         partition: Partition,
         tables=None,
+        collect_c=None,
     ):
         self.dim_nm, self.dim_no, self.k = dim_nm, dim_no, k
         self.dim_nl, self.dim_nv, self.dim_nw = dim_nl, dim_nv, dim_nw
@@ -143,6 +144,12 @@ class ArithmeticCircuitDevice:
         # ([g | g_vec]) for this layer's fast MSM and 'full'
         # ([g | h_vec+h_vec_ | g_vec+g_vec_]) for the WNLA final MSM.
         self.tables = tables
+        # optional structured override for _collect_c: circuits with
+        # sparse/structured W (e.g. the reciprocal range proof) supply
+        # closed forms — the generic dense row-vec x matrix products
+        # materialize ~50 MB lazy-limb intermediates per product at
+        # batch 512 and dominated the verifier's XLA glue time.
+        self.collect_c_override = collect_c
 
     # -- public API (circuit.rs:146-151) --------------------------------
 
@@ -652,6 +659,8 @@ class ArithmeticCircuitDevice:
         return lambda_vec
 
     def _collect_c(self, lambda_vec, mu_vec, mu_inv):
+        if self.collect_c_override is not None:
+            return self.collect_c_override(lambda_vec, mu_vec, mu_inv)
         nm = self.dim_nm
         W_l, W_m = self.W_l, self.W_m
         M_lnL, M_mnL = W_l[:, :, :nm], W_m[:, :, :nm]

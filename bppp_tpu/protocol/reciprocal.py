@@ -230,6 +230,30 @@ class ReciprocalRangeProofDevice:
                 return index
             return None
 
+        def collect_c(lambda_vec, mu_vec, mu_inv):
+            """Closed forms of circuit.rs:584-599 for THIS W structure
+            (W_m = -e diag in the R block; W_l = one -base^i row over L,
+            (1 - I) over R, and the rank-1 pole block over O):
+              c_nL[j] = -base^j * mu^-(j+1)
+              c_nR[j] = (S - lam^(j+1) + e mu^(j+1)) * mu^-(j+1),
+                         S = sum_{r=1..nm} lam^r
+              c_lL[j] = -(e+j)^-1 * S  (j < np), zero-padded to nv
+              c_nO = c_lR = c_lO = 0."""
+            mu_inv_pows = sv.sv_powers(mu_inv, nm, start_at_one=False)
+            lam_tail = lambda_vec[:, 1 : nm + 1]
+            S = sv.sv_sum(lam_tail)
+            bS = jnp.broadcast_to(S[:, None], lam_tail.shape)
+            neg_base_v = sv.sv_const(row0_vals, batch)
+            c_nL = sv.sv_hadamard(neg_base_v, mu_inv_pows)
+            c_nR = sv.sv_hadamard(
+                sv.sv_add(sv.sv_sub(bS, lam_tail), sv.sv_scale(mu_vec, e)),
+                mu_inv_pows,
+            )
+            zeros_nm = sv.sv_zeros(nm, batch)
+            zeros_nv = sv.sv_zeros(nv, batch)
+            c_lL = sv.sv_pad(sv.sv_scale(neg_pole, S), nv)
+            return c_nL, c_nR, zeros_nm, c_lL, zeros_nv, zeros_nv
+
         return ArithmeticCircuitDevice(
             dim_nm=nm,
             dim_no=np_,
@@ -250,6 +274,7 @@ class ReciprocalRangeProofDevice:
             h_vec_=self.h_vec_,
             partition=partition,
             tables=self.tables,
+            collect_c=collect_c,
         )
 
 

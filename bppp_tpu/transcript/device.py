@@ -77,34 +77,36 @@ class Transcript:
                 self._run_f()
 
     def _absorb_traced(self, data) -> None:
-        """data: (n, *batch) u32 byte array."""
+        """data: (n, *batch) u32 byte array. XOR-at-static-offset is a
+        single pad + xor (fusable) — the previous slice/concat state
+        rebuild compiled to dynamic-update-slice chains that dominated
+        the composed verifier's XLA glue time."""
         n = data.shape[0]
         i = 0
         while i < n:
             k = min(n - i, STROBE_R - self.pos)
             chunk = data[i : i + k]
-            st = self.state
-            seg = st[self.pos : self.pos + k] ^ chunk
-            self.state = jnp.concatenate(
-                [st[: self.pos], seg, st[self.pos + k :]], axis=0
+            pads = [(self.pos, 200 - self.pos - k)] + [(0, 0)] * (
+                data.ndim - 1
             )
+            self.state = self.state ^ jnp.pad(chunk, pads)
             self.pos += k
             i += k
             if self.pos == STROBE_R:
                 self._run_f()
 
     def _squeeze(self, n: int):
-        """-> (n, *batch) u32 bytes; zeroes the squeezed state positions."""
+        """-> (n, *batch) u32 bytes; zeroes the squeezed state positions
+        with one constant-mask select (no state rebuild)."""
         outs = []
         got = 0
         while got < n:
             k = min(n - got, STROBE_R - self.pos)
             st = self.state
             outs.append(st[self.pos : self.pos + k])
-            zero = jnp.zeros_like(st[self.pos : self.pos + k])
-            self.state = jnp.concatenate(
-                [st[: self.pos], zero, st[self.pos + k :]], axis=0
-            )
+            mask = np.zeros((200,) + (1,) * len(self.batch), dtype=bool)
+            mask[self.pos : self.pos + k] = True
+            self.state = jnp.where(jnp.asarray(mask), jnp.uint32(0), st)
             self.pos += k
             got += k
             if self.pos == STROBE_R:

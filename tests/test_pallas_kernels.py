@@ -133,15 +133,36 @@ def test_pt_add_double_kernels(rng):
         assert gotd[i].eq(ps[i].double()), f"double lane {i}"
 
 
+def test_msm_small_kernel_vs_oracle(rng):
+    """Shared-window small-MSM kernel (D=3, B=512) vs the oracle,
+    including identity point and zero/one scalar edge lanes."""
+    D, B = 3, TILE
+    rows = [_rand_points(rng, B) for _ in range(D)]
+    rows[1][0] = oc.IDENTITY
+    ks = [_rand_wide(rng, of.N, B) for _ in range(D)]
+    ks[0][1] = 0
+    ks[2][2] = 1
+    px = jnp.stack([_flat_points(r)[0] for r in rows], axis=0)
+    py = jnp.stack([_flat_points(r)[1] for r in rows], axis=0)
+    pz = jnp.stack([_flat_points(r)[2] for r in rows], axis=0)
+    kk = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=0)
+    ox, oy, oz = pm.msm_small_flat(px, py, pz, kk)
+    got = _to_points(ox, oy, oz)
+    for p in [0, 1, 2, 100, 511]:
+        want = oc.IDENTITY
+        for i in range(D):
+            want = want.add(rows[i][p].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
 def test_fixed_base_msm_vs_oracle(rng):
-    """build_tables + select_planes + plane_accum == [s_i] G_i, using a
-    small F*B that still tiles (F=4, B=128 -> 512 lanes)."""
+    """build_tables + fixed_msm kernel == [s_i] G_i (F=2, B=TILE)."""
     import jax
 
     from bppp_tpu.ops import curve as dc
     from bppp_tpu.ops import fixed_base as fb
 
-    F, B = 4, 128
+    F, B = 2, TILE
     base_pts = _rand_points(rng, F)
     pts = dc.from_int_points(base_pts)  # (16, F)
     tables = jax.jit(fb.build_tables)(pts)
@@ -154,7 +175,7 @@ def test_fixed_base_msm_vs_oracle(rng):
     )  # (16, F, B)
     out = fb.msm_fixed(tables, scal)
     assert out is not None
-    for i, p in [(0, 0), (0, 5), (1, 1), (3, 127)]:
+    for i, p in [(0, 0), (0, 5), (1, 1), (1, 511)]:
         got = [oc.Point(*coords) for coords in zip(
             f.limbs_to_ints(np.asarray(out.x[:, i, p : p + 1])),
             f.limbs_to_ints(np.asarray(out.y[:, i, p : p + 1])),

@@ -33,7 +33,7 @@ def main():
     for (w, d, i) in [(0, 1, 0), (0, 3, 5), (13, 15, 48), (63, 7, 20)]:
         want = base[i].mul(d * (16**w))
         wx, wy = want.to_affine()
-        got = sum(int(tx_np[w, d, l, i]) << (16 * l) for l in range(16))
+        got = sum(int(tx_np[i, w, d, l]) << (16 * l) for l in range(16))
         assert got == wx, f"table mismatch at w={w} d={d} i={i}"
     print("table entries ok", flush=True)
 
@@ -46,7 +46,7 @@ def main():
     for (w, i, p) in [(0, 0, 0), (5, 3, 100), (33, 48, 511), (63, 20, 7),
                       (17, 11, 300), (40, 40, 40)]:
         d = (ks[i][p] >> (4 * w)) & 15
-        want = tx_np[w, d, :, i].astype(np.uint32)
+        want = tx_np[i, w, d, :].astype(np.uint32)
         got = qx_np[w, :, i, p]
         if not np.array_equal(want, got):
             bad += 1

@@ -232,6 +232,103 @@ def run_chain():
         print(f"keccak  B={B:6d}  t={dt*1e3:9.3f} ms  ({dt/B*1e9:8.1f} ns/lane)")
 
 
+def run_profile():
+    """jax.profiler trace of one composed fast-verify call; prints the
+    top ops by device time."""
+    import glob
+    import jax
+
+    from bppp_tpu.models import u64_fixture
+    from bppp_tpu.oracle.merlin import Transcript as HostTranscript
+    from bppp_tpu.protocol import convert as cv
+    from bppp_tpu.transcript.device import Transcript as DevTranscript
+
+    B = int(os.environ.get("BPPP_BENCH_BATCH", 512))
+    public, dev, rng = u64_fixture("bench generators", B)
+    x, s = 0xDEADBEEFCAFEBABE, rng.scalar()
+    com = public.commit_value(x, s)
+    proof = public.prove(x, s, HostTranscript(b"u64 range proof"), rng)
+    pb = cv.reciprocal_proofs_to_bytes([proof] * B)
+    com_bytes = cv.point_bytes([com] * B)
+    dev = jax.device_put(dev)
+    pb = jax.device_put(pb)
+    com_bytes = jax.device_put(com_bytes)
+
+    def verify_fn(dev, com_bytes, pb):
+        t = DevTranscript(b"u64 range proof", batch=(B,))
+        return dev.verify(com_bytes, t, pb, fast=True)
+
+    comp = jax.jit(verify_fn).lower(dev, com_bytes, pb).compile()
+    np.asarray(comp(dev, com_bytes, pb))  # warm
+
+    tdir = "/tmp/jaxtrace"
+    os.system(f"rm -rf {tdir}")
+    with jax.profiler.trace(tdir):
+        out = comp(dev, com_bytes, pb)
+        np.asarray(out)
+
+    files = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+    print("trace files:", files)
+    from collections import defaultdict
+
+    def cat(name: str) -> str:
+        base = name.split(" ")[0].lstrip("%")
+        if base.startswith("copy"):
+            return "copy/layout"
+        if "plane_accum" in name:
+            return "pallas:plane_accum"
+        if "scalar_mul" in name:
+            return "pallas:ladder"
+        if "tree" in name:
+            return "pallas:tree"
+        if "f1600" in name:
+            return "pallas:keccak"
+        if "run." in base or "pow" in name:
+            return "pallas:pow"
+        if base.startswith("fusion") or base.startswith("loop_"):
+            return "xla:fusion"
+        if base.startswith("slice") or base.startswith("dynamic"):
+            return "xla:slice/dus"
+        if base.startswith("convolution") or base.startswith("dot") or "conv" in base:
+            return "xla:dot"
+        if base.startswith("jit_"):
+            return "(whole-call span)"
+        return "other:" + base.split(".")[0]
+
+    for path in files:
+        pd = jax.profiler.ProfileData.from_file(path)
+        for plane in pd.planes:
+            if "TPU" not in plane.name:
+                continue
+            print(f"-- plane {plane.name}")
+            for line in plane.lines:
+                agg = defaultdict(float)
+                per_op = defaultdict(float)
+                n = 0
+                for ev in line.events:
+                    agg[cat(ev.name)] += ev.duration_ns
+                    c = cat(ev.name)
+                    if c in (
+                        "xla:slice/dus",
+                        "other:pad",
+                        "other:reduce_sum",
+                        "other:reshape",
+                        "xla:fusion",
+                    ):
+                        per_op[ev.name.split(" = ")[0]] += ev.duration_ns
+                    n += 1
+                if not n:
+                    continue
+                total = sum(v for k, v in agg.items() if k != "(whole-call span)")
+                print(f"  line '{line.name}': {n} events, {total/1e6:.1f} ms excl. wrapper")
+                for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:14]:
+                    print(f"    {v/1e6:9.2f} ms  {k}")
+                if line.name == "XLA Ops" and per_op:
+                    print("  top glue ops:")
+                    for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:25]:
+                        print(f"    {v/1e6:9.3f} ms  {k[:120]}")
+
+
 def run_census():
     """Trace+lower the fast verifier (no compile) and attribute code size
     to each tpu_custom_call site via its backend-config blob length."""
@@ -343,4 +440,5 @@ if __name__ == "__main__":
         "law": run_law,
         "chain": run_chain,
         "census": run_census,
+        "profile": run_profile,
     }[mode]()
