@@ -3,23 +3,26 @@
 
 The verifier's dominant cost was the generic per-lane scalar-mul ladder
 over the FIXED generator vectors (g, h_vec, g_vec): 334 point ops per
-lane, ~256 of them doubles (measured 181 ms for the 51-point MSM at
-batch 512 — half the whole verify). For fixed bases the doubles and
-in-kernel table builds disappear:
+lane, ~256 of them doubles. For fixed bases the doubles and in-kernel
+table builds disappear, and 8-bit windows halve the add count again:
 
   * setup (once per generator set): affine tables
-    T[w][d] = [d * 16^w] G_i for the 64 4-bit windows, d = 1..15
-    (build_tables — plain JAX, one batched inversion for affine form).
-  * per verify: per-lane window digits select entries via an EXACT
-    one-hot f32 einsum on the MXU (limbs < 2^16 are exact in f32), so
-    no per-lane gather and no masked-select statements in the kernel.
-  * kernel (plane_accum): grid (lane_tiles, 64 windows); each step does
-    ONE complete mixed add (affine q, z=1) into a VMEM scratch
-    accumulator — 64 adds/lane total, no doubles, one add body.
+    T[w][d] = [d * 256^w] G_i for the 32 8-bit windows, d = 1..255,
+    stored as f32 (16-bit limbs are exact in f32) pre-transposed for the
+    MXU (build_tables — plain JAX, one batched inversion for affine).
+  * per verify: per-lane window digits select entries with an in-kernel
+    one-hot f32 matmul on the MXU — (16, 256) @ (256, TILE) per coord —
+    ~6 statements instead of the 480 masked-select statements the 4-bit
+    SMEM-splat selection needed.
+  * kernel (_fixed_msm_kernel): grid (F, lane_tiles, 32 windows); each
+    step does ONE INCOMPLETE mixed add (affine q, z=1; identity lanes
+    masked, collisions cryptographically unreachable — see
+    pallas_field.pt_add_mixed_inc) into a VMEM scratch accumulator —
+    32 adds/lane total, no doubles, no dbl-branch in the add body.
 
 Replaces the reference's naive per-term MSM (util.rs:46-60) on the
 verify hot path; the commitment-chain points (C_S, X_k, ...) are still
-handled by the generic ladder (they are per-proof data).
+handled by the shared-window small-MSM kernel (they are per-proof data).
 """
 
 from __future__ import annotations
@@ -32,65 +35,68 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB
 
-N_WINDOWS = 64
-N_ENT = 16
+N_WINDOWS = 32
+N_ENT = 256
 
 
 def build_tables(points):
     """points: PointJ coords (16, F) — unbatched fixed generators.
-    -> (tx, ty): uint32 (64, 16, 16, F) window tables (window, entry,
-    limb, point), entry 0 = (0, 0) (identity sentinel; the kernel's
-    mixed add treats all-zero affine coords as the identity)."""
+    -> (tx, ty): float32 (F, 32, 16, 256) window tables (point, window,
+    limb, entry), entry 0 = (0, 0) (identity sentinel; the kernel's
+    mixed add treats all-zero affine coords as the identity). The limb
+    axis leads the entry axis so the kernel's selection is a plain
+    (16, 256) @ (256, TILE) matmul."""
     from . import curve as dc
 
     F = points.x.shape[1]
 
-    def w_step(carry, _):
-        base = carry  # PointJ (16, F) = [16^w] G_i
-        ents = [base]
-        cur = base
-        for _ in range(14):
-            cur = dc._pt_add_jnp(cur, base)
-            ents.append(cur)
-        # [16] base = double([8] base)
-        nxt = dc._pt_double_jnp(ents[7])
-        stack = dc.PointJ(
-            *(jnp.stack([c[i] for c in ents], axis=1) for i in range(3))
-        )  # (16, 15, F)
-        return nxt, stack
+    def w_step(base, _):
+        # base: PointJ (16, F) = [256^w] G_i; entries [2]..[255]*base
+        def ent_body(cur, _):
+            nxt = dc._pt_add_jnp(cur, base)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(ent_body, base, None, length=N_ENT - 2)
+        # rest coords: (254, 16, F); entry d = rest[d-2] for d >= 2
+        ents = dc.PointJ(
+            *(
+                jnp.concatenate([b[None], r], axis=0)
+                for b, r in zip(base, rest)
+            )
+        )  # (255, 16, F)
+        # [256^{w+1}] = double of entry 128 (= rest[126])
+        nxt_base = dc._pt_double_jnp(dc.PointJ(*(r[126] for r in rest)))
+        return nxt_base, ents
 
     _, ents = jax.lax.scan(w_step, points, None, length=N_WINDOWS)
-    # ents coords: (64, 16, 15, F) -> affine in ONE batched inversion
-    flat = dc.PointJ(*(c.transpose(1, 0, 2, 3).reshape(16, -1) for c in ents))
-    ax, ay, is_id = dc.to_affine(flat)
-    ax = ax.reshape(16, N_WINDOWS, 15, F)
-    ay = ay.reshape(16, N_WINDOWS, 15, F)
+    # ents coords: (32, 255, 16, F) -> affine in ONE batched inversion
+    flat = dc.PointJ(*(c.transpose(2, 0, 1, 3).reshape(16, -1) for c in ents))
+    ax, ay, _ = dc.to_affine(flat)
+    ax = ax.reshape(16, N_WINDOWS, N_ENT - 1, F)
+    ay = ay.reshape(16, N_WINDOWS, N_ENT - 1, F)
     zero = jnp.zeros((16, N_WINDOWS, 1, F), jnp.uint32)
     tx = jnp.concatenate([zero, ax], axis=2)  # entry 0 = identity sentinel
     ty = jnp.concatenate([zero, ay], axis=2)
-    # -> (F, 64, 16ent, 16limb): the kernel streams one (f, w) table
-    # block into SMEM per grid step and splats entries as scalars (the
-    # last two block dims equal the array dims, as Mosaic requires)
-    tx = tx.transpose(3, 1, 2, 0)
-    ty = ty.transpose(3, 1, 2, 0)
+    # -> (F, 32, 16 limb, 256 ent) f32: one (f, w) block streams to VMEM
+    # per grid step as the selection matmul's LHS
+    tx = tx.transpose(3, 1, 0, 2).astype(jnp.float32)
+    ty = ty.transpose(3, 1, 0, 2).astype(jnp.float32)
     return tx, ty
 
 
 def _digits(scalars):
-    """(16, F, B) limbs -> (64, F, B) window digits (LSB window first)."""
+    """(16, F, B) limbs -> (32, F, B) window bytes (LSB window first)."""
     rows = []
     for w in range(N_WINDOWS):
-        rows.append((scalars[w // 4] >> (4 * (w % 4))) & 15)
+        rows.append((scalars[w // 2] >> (8 * (w % 2))) & 255)
     return jnp.stack(rows, axis=0)
 
 
 def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
-    """Grid (F, B/TILE, 64 windows). Each step selects this window's
-    table entry per lane (entries are SMEM scalars — every lane in a
-    tile shares one generator — splatted under the digit masks) and does
-    ONE complete mixed add into the scratch accumulator. No doubles, no
-    materialized selection planes: the one-hot-einsum selection this
-    replaces spent ~73 ms/call in XLA slice/pad/reshape glue."""
+    """Grid (F, B/TILE, 32 windows). Each step selects this window's
+    table entry per lane with a one-hot f32 matmul on the MXU (digit 0
+    selects the all-zero identity sentinel) and does ONE incomplete
+    mixed add into the scratch accumulator."""
     w = pl.program_id(2)
 
     @pl.when(w == 0)
@@ -99,48 +105,48 @@ def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
         ay[:] = jnp.pad(jnp.ones((1, TILE), jnp.uint32), [(0, 15), (0, 0)])
         az[:] = jnp.zeros((16, TILE), jnp.uint32)
 
-    d = dig_ref[0, 0, 0]  # (SUB, 128) digits of this (f, b, w)
-    masks = [d == e for e in range(1, N_ENT)]
-
-    rows_x = []
-    rows_y = []
-    for l in range(16):
-        rx = jnp.zeros((_SUB, 128), jnp.uint32)
-        ry = jnp.zeros((_SUB, 128), jnp.uint32)
-        for e in range(1, N_ENT):
-            rx = rx + jnp.where(masks[e - 1], tabx_ref[0, 0, e, l], 0)
-            ry = ry + jnp.where(masks[e - 1], taby_ref[0, 0, e, l], 0)
-        rows_x.append(rx)
-        rows_y.append(ry)
-    qx = jnp.stack(rows_x, axis=0)  # d == 0 -> all-zero = identity
-    qy = jnp.stack(rows_y, axis=0)
+    d = dig_ref[0, 0, 0]  # (1, TILE) digits of this (f, b, w)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
+    ).astype(jnp.float32)
+    qx = jax.lax.dot_general(
+        tabx_ref[0, 0], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32).reshape(16, _SUB, 128)
+    qy = jax.lax.dot_general(
+        taby_ref[0, 0], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32).reshape(16, _SUB, 128)
 
     X = ax[:].reshape(16, _SUB, 128)
     Y = ay[:].reshape(16, _SUB, 128)
     Z = az[:].reshape(16, _SUB, 128)
-    nX, nY, nZ = pf.pt_add_mixed(X, Y, Z, qx, qy)
+    nX, nY, nZ = pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
     ax[:] = nX.reshape(16, TILE)
     ay[:] = nY.reshape(16, TILE)
     az[:] = nZ.reshape(16, TILE)
-    ox[:] = ax[:]
-    oy[:] = ay[:]
-    oz[:] = az[:]
+
+    @pl.when(w == N_WINDOWS - 1)
+    def _():
+        ox[:] = ax[:]
+        oy[:] = ay[:]
+        oz[:] = az[:]
 
 
 @jax.jit
 def fixed_msm_flat(tx, ty, dig):
-    """tx/ty: (F, 64, 16, 16) u32 tables; dig: (64, F, nb, SUB, 128)
+    """tx/ty: (F, 32, 16, 256) f32 tables; dig: (32, F, nb, 1, TILE)
     window digits -> 3x (16, F*B) Jacobian [k_i]G_i per (i, b) lane."""
     F = tx.shape[0]
     nb = dig.shape[2]
     B = nb * TILE
     tab_spec = pl.BlockSpec(
-        (1, 1, N_ENT, 16),
+        (1, 1, 16, N_ENT),
         lambda f, b, w: (f, w, 0, 0),
-        memory_space=pltpu.SMEM,
+        memory_space=pltpu.VMEM,
     )
     dig_spec = pl.BlockSpec(
-        (1, 1, 1, _SUB, 128),
+        (1, 1, 1, 1, TILE),
         lambda f, b, w: (w, f, b, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -198,7 +204,7 @@ def msm_fixed(tables, scalars):
     if B % TILE != 0:
         return None  # per-generator lane tiles need B to tile
     nb = B // TILE
-    dig = _digits(scalars).reshape(N_WINDOWS, F, nb, _SUB, 128)
+    dig = _digits(scalars).reshape(N_WINDOWS, F, nb, 1, TILE)
     sx, sy, sz = fixed_msm_flat(tx, ty, dig)
     return PointJ(
         sx.reshape(16, F, B), sy.reshape(16, F, B), sz.reshape(16, F, B)

@@ -279,6 +279,74 @@ def pt_add_mixed(px, py, pz, qx, qy):
     return X3, Y3, Z3
 
 
+def pt_add_mixed_inc(px, py, pz, qx, qy):
+    """INCOMPLETE masked mixed add: p (Jacobian) + q (affine; all-zero
+    coords = identity). Handles the identity cases (p_id / q_id) but NOT
+    the doubling/inverse collisions p == ±q: those lanes degrade to the
+    identity encoding (H = 0 ⇒ Z3 = 0). Safe whenever a collision implies
+    a nontrivial DLOG relation between the operands — true for every
+    verifier MSM whose scalars are Fiat-Shamir challenges and for table
+    chains [k]P + P with 2 <= k < 15 on a prime-order curve. Saves the
+    full pt_dbl body (~8 muls) vs pt_add_mixed."""
+    Z1Z1 = mul_p(pz, pz)
+    U2 = mul_p(qx, Z1Z1)
+    S2 = mul_p(qy, mul_p(pz, Z1Z1))
+    H = sub_p(U2, px)
+    r = sub_p(S2, py)
+    HH = mul_p(H, H)
+    HHH = mul_p(H, HH)
+    V = mul_p(px, HH)
+    rr = mul_p(r, r)
+    X3 = sub_p(sub_p(rr, HHH), add_p(V, V))
+    Y3 = sub_p(mul_p(r, sub_p(V, X3)), mul_p(py, HHH))
+    Z3 = mul_p(pz, H)
+
+    p_id = is_zero(pz)
+    q_id = jnp.logical_and(is_zero(qx), is_zero(qy))
+    one = jnp.pad(
+        jnp.ones((1,) + px.shape[1:], jnp.uint32),
+        [(0, 15)] + [(0, 0)] * (px.ndim - 1),
+    )
+    X3 = select(p_id, qx, X3)
+    Y3 = select(p_id, qy, Y3)
+    Z3 = select(p_id, one, Z3)
+    X3 = select(q_id, px, X3)
+    Y3 = select(q_id, py, Y3)
+    Z3 = select(q_id, pz, Z3)
+    return X3, Y3, Z3
+
+
+def pt_add_inc(px, py, pz, qx, qy, qz):
+    """INCOMPLETE masked Jacobian add: identity cases handled, doubling /
+    inverse collisions degrade to identity (see pt_add_mixed_inc for the
+    safety argument). Saves the pt_dbl body + collision masks."""
+    Z1Z1 = mul_p(pz, pz)
+    Z2Z2 = mul_p(qz, qz)
+    U1 = mul_p(px, Z2Z2)
+    U2 = mul_p(qx, Z1Z1)
+    S1 = mul_p(py, mul_p(qz, Z2Z2))
+    S2 = mul_p(qy, mul_p(pz, Z1Z1))
+    H = sub_p(U2, U1)
+    r = sub_p(S2, S1)
+    HH = mul_p(H, H)
+    HHH = mul_p(H, HH)
+    V = mul_p(U1, HH)
+    rr = mul_p(r, r)
+    X3 = sub_p(sub_p(rr, HHH), add_p(V, V))
+    Y3 = sub_p(mul_p(r, sub_p(V, X3)), mul_p(S1, HHH))
+    Z3 = mul_p(mul_p(pz, qz), H)
+
+    p_id = is_zero(pz)
+    q_id = is_zero(qz)
+    X3 = select(q_id, px, X3)
+    Y3 = select(q_id, py, Y3)
+    Z3 = select(q_id, pz, Z3)
+    X3 = select(p_id, qx, X3)
+    Y3 = select(p_id, qy, Y3)
+    Z3 = select(p_id, qz, Z3)
+    return X3, Y3, Z3
+
+
 def pt_add(px, py, pz, qx, qy, qz):
     """Complete masked Jacobian add, stacked coords — mirrors curve.pt_add."""
     Z1Z1 = mul_p(pz, pz)

@@ -244,27 +244,38 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
 
     jax.lax.fori_loop(0, D, dig_body, 0)
 
-    # tables: tab[i*16 + d] = [d] P_i
+    # tables: tab[i*16 + d] = [d] P_i. Entry 2 is a genuine doubling
+    # (P + P) and gets pt_dbl explicitly; entries 3..15 use the
+    # INCOMPLETE add — [k]P + P with 2 <= k <= 14 cannot collide on a
+    # prime-order curve (identity lanes stay masked).
     def tab_i(i, _):
         X, Y, Z = ld_pt(i)
+        dx, dy, dz = pf.pt_dbl(X, Y, Z)
+        p_id = pf.is_zero(Z)
+        dx = pf.select(p_id, X, dx)
+        dy = pf.select(p_id, Y, dy)
+        dz = pf.select(p_id, Z, dz)
         tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
         taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, TILE)
         tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
         tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, TILE)
         taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, TILE)
         tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, TILE)
 
         def ent_body(d, _):
             cx = tabx[i * 16 + d - 1].reshape(16, _SUB, 128)
             cy = taby[i * 16 + d - 1].reshape(16, _SUB, 128)
             cz = tabz[i * 16 + d - 1].reshape(16, _SUB, 128)
-            nx, ny, nz = pf.pt_add(cx, cy, cz, X, Y, Z)
+            nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
             tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, TILE)
             taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, TILE)
             tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, TILE)
             return 0
 
-        jax.lax.fori_loop(2, 16, ent_body, 0)
+        jax.lax.fori_loop(3, 16, ent_body, 0)
         return 0
 
     jax.lax.fori_loop(0, D, tab_i, 0)
@@ -287,7 +298,9 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
             qx = _tab_select(ents_x, d)
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
-            return pf.pt_add(sx, sy, sz, qx, qy, qz)
+            # incomplete: acc == ±[d]P_i needs a scalar relation across
+            # Fiat-Shamir challenges (cryptographically unreachable)
+            return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
 
         return jax.lax.fori_loop(0, D, add_i, (sx, sy, sz))
 
@@ -340,7 +353,10 @@ def _tree_kernel(L: int, px, py, pz, ox, oy, oz):
 
     def body(i, carry):
         bx, by, bz = chunk(i)
-        return pf.pt_add(*carry, bx, by, bz)
+        # incomplete: chunks are multiples of distinct generators (or
+        # identity padding, which stays masked); a collision needs a
+        # DLOG relation between generators
+        return pf.pt_add_inc(*carry, bx, by, bz)
 
     ax, ay, az = jax.lax.fori_loop(1, L, body, c0)
     _st(ox, ax)

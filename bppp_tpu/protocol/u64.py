@@ -125,7 +125,7 @@ def build_u64_tables(g: PointJ, g_vec: PointJ, h_vec: PointJ):
         )
     )  # [g | h(32) | g_vec(16)] -> (16, 49)
     tx, ty = fb.build_tables(pts)
-    # tables are (F, 64, 16, 16); the circuit MSM subset is [g | g_vec]
+    # tables are (F, 32, 16, 256) f32; the circuit MSM subset is [g | g_vec]
     gv = tuple(
         jnp.concatenate([t[:1], t[1 + H_VEC_FULL_SZ :]], axis=0)
         for t in (tx, ty)

@@ -275,8 +275,8 @@ def run_profile():
         base = name.split(" ")[0].lstrip("%")
         if base.startswith("copy"):
             return "copy/layout"
-        if "plane_accum" in name:
-            return "pallas:plane_accum"
+        if "plane_accum" in name or "fixed_msm" in name:
+            return "pallas:fixed_msm"
         if "scalar_mul" in name:
             return "pallas:ladder"
         if "tree" in name:
