@@ -271,7 +271,7 @@ class ArithmeticCircuitDevice:
             # ONE MSM: P_t's terms, the C_* folds, and the committed-v
             # combination together (SURVEY.md §3.2 rewrite). Fixed part
             # [g | g_vec] rides the precomputed window tables.
-            from ..ops import fixed_base as fb
+            from ..ops import pallas_fixed_base as fb
 
             fixed_pts = pv.pv_concat([pv.single(self.g), self.g_vec])
             fixed_scs = sv.sv_concat(

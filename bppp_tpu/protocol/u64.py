@@ -116,7 +116,7 @@ def build_u64_tables(g: PointJ, g_vec: PointJ, h_vec: PointJ):
     U64RangeProofDevice(tables=...)."""
     import jax.numpy as jnp
 
-    from ..ops import fixed_base as fb
+    from ..ops import pallas_fixed_base as fb
 
     pts = PointJ(
         *(

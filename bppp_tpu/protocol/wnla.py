@@ -281,7 +281,7 @@ class WNLADevice:
         neg_y2m1 = f.fn_neg(f.fn_sub(f.fn_mul(last_y, last_y), one))
         x0 = PointJ(*(a[:, 0] for a in xs))
         r0 = PointJ(*(a[:, 0] for a in rs))
-        from ..ops import fixed_base as fb
+        from ..ops import pallas_fixed_base as fb
 
         fixed_pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
         fixed_scs = sv.sv_concat([v_final[:, None], a_coef, b_coef])

@@ -160,7 +160,7 @@ def test_fixed_base_msm_vs_oracle(rng):
     import jax
 
     from bppp_tpu.ops import curve as dc
-    from bppp_tpu.ops import fixed_base as fb
+    from bppp_tpu.ops import pallas_fixed_base as fb
 
     F, B = 2, TILE
     base_pts = _rand_points(rng, F)

@@ -16,7 +16,7 @@ from bppp_tpu.oracle import curve as oc
 from bppp_tpu.oracle import field as of
 from bppp_tpu.ops import curve as dc
 from bppp_tpu.ops import field as f
-from bppp_tpu.ops import fixed_base as fb
+from bppp_tpu.ops import pallas_fixed_base as fb
 from bppp_tpu.utils.rng import SeededRng
 
 

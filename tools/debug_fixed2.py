@@ -15,7 +15,7 @@ from bppp_tpu.models import u64_fixture
 from bppp_tpu.oracle import curve as oc
 from bppp_tpu.ops import curve as dc
 from bppp_tpu.ops import field as f
-from bppp_tpu.ops import fixed_base as fb
+from bppp_tpu.ops import pallas_fixed_base as fb
 from bppp_tpu.protocol import convert as cv
 from bppp_tpu.protocol import points as pv
 from bppp_tpu.utils.rng import SeededRng
