@@ -100,17 +100,43 @@ def _src_hash(platform: str) -> str:
         for f in sorted(pkg.rglob("*.py")):
             if platform == "cpu" and "pallas" in f.name:
                 continue
+            if f.name == "aot.py":
+                continue  # caching machinery; never affects traced graphs
             h.update(f.as_posix().encode())
             h.update(f.read_bytes())
         _SRC_HASH[platform] = h.hexdigest()[:12]
     return _SRC_HASH[platform]
 
 
+def _leaf_sharding(leaf):
+    """NamedSharding of a committed jax.Array leaf, else None. Only
+    NamedShardings participate in signatures/specs — single-device
+    placements hash and export identically to uncommitted leaves."""
+    from jax.sharding import NamedSharding
+
+    s = getattr(leaf, "sharding", None)
+    if isinstance(s, NamedSharding) and s.mesh.size > 1:
+        return s
+    return None
+
+
+def _sharding_key(s) -> str:
+    if s is None:
+        return ""
+    mesh = s.mesh
+    return f"{tuple(mesh.shape.items())}|{s.spec}|{mesh.devices.flat[0].platform}"
+
+
 def _signature(args, platform: str) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(args)
     parts = [str(treedef), _src_hash(platform)]
     for leaf in leaves:
-        parts.append(f"{jax.numpy.asarray(leaf).dtype}:{jax.numpy.asarray(leaf).shape}")
+        arr = jax.numpy.asarray(leaf)
+        part = f"{arr.dtype}:{arr.shape}"
+        skey = _sharding_key(_leaf_sharding(leaf))
+        if skey:  # unsharded leaves keep the legacy format (cache compat)
+            part += f":{skey}"
+        parts.append(part)
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
     return digest
 
@@ -137,7 +163,9 @@ class CachedProgram:
             else:
                 specs = jax.tree_util.tree_map(
                     lambda x: jax.ShapeDtypeStruct(
-                        jax.numpy.asarray(x).shape, jax.numpy.asarray(x).dtype
+                        jax.numpy.asarray(x).shape,
+                        jax.numpy.asarray(x).dtype,
+                        sharding=_leaf_sharding(x),
                     ),
                     args,
                 )
