@@ -1,0 +1,73 @@
+"""Fixed-base MSM dispatch: route to the window-table Pallas kernel
+(ops/pallas_fixed_base.py) when tables are present and the backend runs
+Pallas, else to the generic shared-window MSM.
+
+This graph-level dispatch is deliberately SEPARATE from the kernel
+module: the CPU AOT source hash (utils/aot.py _src_hash) excludes
+pallas_* files so TPU-kernel iterations don't invalidate CPU test
+caches, but the fallback logic here IS traced into CPU programs and
+must invalidate them when it changes."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
+    """MSM over fixed generators (via tables) + a few per-proof dynamic
+    points (via the generic ladder), one tree reduction. Falls back to
+    the shared-window path when tables are absent (CPU) or shapes don't
+    tile. fixed_scalars: (16, F, *b) in TABLE order; fixed_points only
+    feed the fallback."""
+    from . import curve as dc
+
+    if tables is not None and dc._pallas_enabled():
+        from . import pallas_fixed_base as pfb
+
+        fixed = pfb.msm_fixed(tables, fixed_scalars)
+        if fixed is not None:
+            # dynamic points ride the shared-window small-MSM kernel
+            dyn_sum = dc.msm(dyn_points, dyn_scalars)
+            return dc.pt_add(dc.pt_sum(fixed, axis=1), dyn_sum)
+    pts = dc.PointJ(
+        *(
+            jnp.concatenate([a, b], axis=1)
+            for a, b in zip(fixed_points, dyn_points)
+        )
+    )
+    scs = jnp.concatenate([fixed_scalars, dyn_scalars], axis=1)
+    return dc.msm_straus(pts, scs)
+
+
+def msm_fixed_total(tables, points, scalars):
+    """Complete MSM sum_i [s_i] P_i over FIXED generators: rides the
+    window tables when present and the flattened batch tiles; otherwise a
+    generic Straus MSM over `points` (the same generators, used only by
+    the fallback). scalars: (16, F, *sbatch) in TABLE order; points:
+    PointJ coords (16, F, *pbatch) with pbatch a suffix of sbatch (extra
+    leading batch axes — e.g. several MSMs stacked into one call — are
+    broadcast over the shared generators). -> PointJ coords (16, *sbatch).
+
+    Zero scalars contribute the identity on both paths, so callers embed
+    sub-MSMs by zero-padding to the full table layout (the prover's
+    C_O/C_L/C_R/C_S commitments and per-round WNLA X/R all do this)."""
+    from . import curve as dc
+
+    F = scalars.shape[1]
+    sbatch = scalars.shape[2:]
+    if tables is not None and dc._pallas_enabled():
+        from . import pallas_fixed_base as pfb
+
+        flat = scalars.reshape(16, F, -1)
+        per = pfb.msm_fixed(tables, flat)
+        if per is not None:
+            s = dc.pt_sum(per, axis=1)  # (16, prod(sbatch))
+            return dc.PointJ(*(a.reshape((16,) + sbatch) for a in s))
+    pbatch = points.x.shape[2:]
+    extra = len(sbatch) - len(pbatch)
+    if extra:
+        idx = (slice(None), slice(None)) + (None,) * extra
+        points = dc.PointJ(
+            *(jnp.broadcast_to(a[idx], (16, F) + sbatch) for a in points)
+        )
+    return dc.msm_straus(points, scalars)

@@ -165,30 +165,6 @@ def fixed_msm_flat(tx, ty, dig):
     )(tx, ty, dig)
 
 
-def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
-    """MSM over fixed generators (via tables) + a few per-proof dynamic
-    points (via the generic ladder), one tree reduction. Falls back to
-    the shared-window path when tables are absent (CPU) or shapes don't
-    tile. fixed_scalars: (16, F, *b) in TABLE order; fixed_points only
-    feed the fallback."""
-    from . import curve as dc
-
-    if tables is not None and dc._pallas_enabled():
-        fixed = msm_fixed(tables, fixed_scalars)
-        if fixed is not None:
-            # dynamic points ride the shared-window small-MSM kernel
-            dyn_sum = dc.msm(dyn_points, dyn_scalars)
-            return dc.pt_add(dc.pt_sum(fixed, axis=1), dyn_sum)
-    pts = dc.PointJ(
-        *(
-            jnp.concatenate([a, b], axis=1)
-            for a, b in zip(fixed_points, dyn_points)
-        )
-    )
-    scs = jnp.concatenate([fixed_scalars, dyn_scalars], axis=1)
-    return dc.msm_straus(pts, scs)
-
-
 def msm_fixed(tables, scalars):
     """tables: (tx, ty) from build_tables, F fixed points; scalars:
     (16, F, B) F_n limbs. -> PointJ coords (16, F, B): per-lane

@@ -271,7 +271,7 @@ class ArithmeticCircuitDevice:
             # ONE MSM: P_t's terms, the C_* folds, and the committed-v
             # combination together (SURVEY.md §3.2 rewrite). Fixed part
             # [g | g_vec] rides the precomputed window tables.
-            from ..ops import pallas_fixed_base as fb
+            from ..ops import fixed_base as fb
 
             fixed_pts = pv.pv_concat([pv.single(self.g), self.g_vec])
             fixed_scs = sv.sv_concat(
@@ -328,21 +328,42 @@ class ArithmeticCircuitDevice:
         ll = self._part_vec(witness.w_o, PartitionType.LL, self.dim_nv)
         lr = self._part_vec(witness.w_o, PartitionType.LR, self.dim_nv)
 
-        # C_O / C_L / C_R — one stacked ladder (3 MSMs share windows).
-        from .wnla import _msm_stack
+        # Every prover commitment is an MSM over the FIXED generator set
+        # [g | h_vec+h_vec_ | g_vec+g_vec_] (the 'full' window-table
+        # layout): scalars are zero-padded into that layout so C_O/C_L/
+        # C_R/C_S and the WNLA input commitment all ride the precomputed
+        # tables instead of per-lane ladders (zero scalars select the
+        # identity sentinel). The reference computes each with a naive
+        # per-term MSM (circuit.rs:300-320, util.rs:46-60).
+        from ..ops import fixed_base as fb
 
         hv, gv = self.h_vec, self.g_vec
-        groups = []
-        for r_, l_, n_ in ((ro, lo, no), (rl, ll, nl_), (rr, lr, nr_)):
-            pts = pv.pv_concat([hv, gv])
-            scs = sv.sv_concat(
+        full_h = pv.pv_len(hv) + pv.pv_len(self.h_vec_)
+        full_g = pv.pv_len(gv) + pv.pv_len(self.g_vec_)
+        all_pts = pv.pv_concat(
+            [pv.single(self.g), hv, self.h_vec_, gv, self.g_vec_]
+        )
+        tab = self.tables.get("full") if self.tables else None
+        zero1 = jnp.zeros((16, 1) + batch, jnp.uint32)
+
+        def full_scalars(g_s, h_s, n_s):
+            return sv.sv_concat(
                 [
-                    sv.sv_pad(sv.sv_concat([r_, l_]), pv.pv_len(hv)),
-                    sv.sv_pad(n_, pv.pv_len(gv)),
+                    g_s if g_s is not None else zero1,
+                    sv.sv_pad(h_s, full_h),
+                    sv.sv_pad(n_s, full_g),
                 ]
             )
-            groups.append((pts, scs))
-        colr = _msm_stack(groups)
+
+        # C_O / C_L / C_R — stacked on one extra batch axis: ONE fixed MSM.
+        trip = jnp.stack(
+            [
+                full_scalars(None, sv.sv_concat([r_, l_]), n_)
+                for r_, l_, n_ in ((ro, lo, no), (rl, ll, nl_), (rr, lr, nr_))
+            ],
+            axis=2,
+        )  # (16, 1+full_h+full_g, 3, *b)
+        colr = fb.msm_fixed_total(tab, all_pts, trip)
         c_o = PointJ(*(a[:, 0] for a in colr))
         c_l = PointJ(*(a[:, 1] for a in colr))
         c_r = PointJ(*(a[:, 2] for a in colr))
@@ -482,11 +503,8 @@ class ArithmeticCircuitDevice:
         )  # (16, 9, *b)
 
         cs_scalars = sv.sv_concat([rs, ls])
-        c_s = pv.msm(
-            pv.pv_concat([hv, gv]),
-            sv.sv_concat(
-                [sv.sv_pad(cs_scalars, pv.pv_len(hv)), sv.sv_pad(ns, pv.pv_len(gv))]
-            ),
+        c_s = fb.msm_fixed_total(
+            tab, all_pts, full_scalars(None, cs_scalars, ns)
         )
         t.append_message(b"commitment_cs", dc.compress(c_s))
 
@@ -523,19 +541,10 @@ class ArithmeticCircuitDevice:
         )
 
         v_scalar = A(ps_tau, M(tau3, v_0))
-        commitment = pv.msm(
-            pv.pv_concat([pv.single(self.g), hv, gv]),
-            sv.sv_concat(
-                [
-                    v_scalar[:, None],
-                    sv.sv_pad(l_vec, pv.pv_len(hv)),
-                    sv.sv_pad(n_vec, pv.pv_len(gv)),
-                ]
-            ),
+        commitment = fb.msm_fixed_total(
+            tab, all_pts, full_scalars(v_scalar[:, None], l_vec, n_vec)
         )
 
-        full_h = pv.pv_len(hv) + pv.pv_len(self.h_vec_)
-        full_g = pv.pv_len(gv) + pv.pv_len(self.g_vec_)
         wnla = WNLADevice(
             g=self.g,
             g_vec=pv.pv_concat([gv, self.g_vec_]),
@@ -543,6 +552,7 @@ class ArithmeticCircuitDevice:
             c_vec=sv.sv_pad(c_vec, full_h),
             rho=rho,
             mu=mu,
+            tables=tab,
         )
         wnla_proof = wnla.prove(
             commitment, t, sv.sv_pad(l_vec, full_h), sv.sv_pad(n_vec, full_g)

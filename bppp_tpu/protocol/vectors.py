@@ -107,6 +107,13 @@ def sv_tensor(a, b):
     return prod.reshape((16, La * Lb) + a.shape[2:])
 
 
+def sv_interleave(a, b):
+    """out[:, 2t] = a_t, out[:, 2t+1] = b_t — inverse of sv_split."""
+    assert a.shape == b.shape
+    st = jnp.stack([a, b], axis=2)  # (16, L, 2, *batch)
+    return st.reshape((16, 2 * a.shape[1]) + a.shape[2:])
+
+
 def sv_neg(a):
     return f.fn_neg(a)
 

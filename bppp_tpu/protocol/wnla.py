@@ -124,6 +124,9 @@ class WNLADevice:
     def prove(self, commitment: PointJ, t: Transcript, l, n) -> WNLAProofDev:
         lh, lg = l.shape[1], n.shape[1]
         assert lh == pv.pv_len(self.h_vec) and lg == pv.pv_len(self.g_vec)
+        K = num_rounds(lh, lg)
+        if K > 0 and lh % (1 << K) == 0 and lg % (1 << K) == 0:
+            return self._prove_fast(commitment, t, l, n, K)
 
         # One batched inversion pair; per-level inverses chain by squaring.
         inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
@@ -131,7 +134,6 @@ class WNLADevice:
 
         cur = self
         xs, rs = [], []
-        K = num_rounds(lh, lg)
         for _ in range(K):
             commitment, l, n, x_pt, r_pt, cur = _prove_round(
                 cur, commitment, t, l, n, rho_inv
@@ -149,6 +151,112 @@ class WNLADevice:
             if ps
             else c.identity((0,) + self.batch)
         )
+        return WNLAProofDev(r=stack(rs), x=stack(xs), l=l, n=n)
+
+    def _prove_fast(self, commitment, t, l, n, K: int) -> WNLAProofDev:
+        """Prover twin of `verify_fast` (transcript-identical to the
+        mirror `prove`): every per-round X/R commitment is expressed over
+        the ORIGINAL generators via kron-expanded coefficient vectors —
+        one fixed-base MSM per round instead of scalar-mul ladders over
+        the folded generator points — and the commitment chain uses the
+        verifier's fold identity C' = C + y X + (y^2-1) R (wnla.rs:100-102),
+        which for an honest prover is the same group element the
+        reference recomputes from scratch (wnla.rs:186). The generators
+        are never folded; only c / l / n (scalars) fold per round.
+
+        Derivation: with h_k[q] = sum_{m<2^k} w_k[m] h[(q<<k)|m] (w_k the
+        per-round kron of [1, y_k]) the X-round terms <h0_k, l1> +
+        <h1_k, l0> (wnla.rs:152-160) become <h, w_k (x) interleave(l1, l0)>
+        over the original h; the g-side uses wg_k (kron of [rho_k, y_k])
+        and interleave(rho_k n1, rho_k^-1 n0); R (only odd-half
+        generators, wnla.rs:157-160) uses interleave(0, l1) /
+        interleave(0, n1). Requires |h|, |g| divisible by 2^K."""
+        from ..ops import fixed_base as fb
+
+        batch = self.batch
+        lh, lg = pv.pv_len(self.h_vec), pv.pv_len(self.g_vec)
+        one = sv.s_const(1, batch)
+        two = sv.s_const(2, batch)
+        all_pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
+
+        inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
+        rho_inv, mu_inv = inv2[:, 0], inv2[:, 1]
+        rho_k, mu_k = self.rho, self.mu
+        cvec = self.c
+        w_h = one[:, None]
+        w_g = one[:, None]
+
+        xs, rs = [], []
+        for k in range(K):
+            c0, c1 = sv.sv_split(cvec)
+            l0, l1 = sv.sv_split(l)
+            n0, n1 = sv.sv_split(n)
+            mu2 = f.fn_mul(mu_k, mu_k)
+            pw2 = sv.sv_powers(mu2, max(n0.shape[1], 1), start_at_one=False)
+            vx = f.fn_add(
+                f.fn_mul(
+                    sv.sv_weight_inner(n0, n1, mu2, pw=pw2),
+                    f.fn_mul(rho_inv, two),
+                ),
+                f.fn_add(sv.sv_inner(c0, l1), sv.sv_inner(c1, l0)),
+            )
+            vr = f.fn_add(
+                sv.sv_weight_inner(n1, n1, mu2, pw=pw2), sv.sv_inner(c1, l1)
+            )
+
+            xh = sv.sv_tensor(w_h, sv.sv_interleave(l1, l0))
+            xg = sv.sv_tensor(
+                w_g,
+                sv.sv_interleave(
+                    sv.sv_scale(n1, rho_k), sv.sv_scale(n0, rho_inv)
+                ),
+            )
+            rh = sv.sv_tensor(w_h, sv.sv_interleave(jnp.zeros_like(l1), l1))
+            rg = sv.sv_tensor(w_g, sv.sv_interleave(jnp.zeros_like(n1), n1))
+            # X and R stacked on one extra batch axis -> ONE fixed MSM
+            scal = jnp.stack(
+                [
+                    sv.sv_concat([vx[:, None], xh, xg]),
+                    sv.sv_concat([vr[:, None], rh, rg]),
+                ],
+                axis=2,
+            )  # (16, 1+lh+lg, 2, *batch)
+            xr = fb.msm_fixed_total(self.tables, all_pts, scal)
+            x_pt = PointJ(*(a[:, 0] for a in xr))
+            r_pt = PointJ(*(a[:, 1] for a in xr))
+            xs.append(x_pt)
+            rs.append(r_pt)
+
+            three = pv.pv_concat(
+                [pv.single(commitment), pv.single(x_pt), pv.single(r_pt)]
+            )
+            byts = c.compress(three)
+            t.append_message(b"wnla_com", byts[:, 0])
+            t.append_message(b"wnla_x", byts[:, 1])
+            t.append_message(b"wnla_r", byts[:, 2])
+            t.append_u64(b"l.sz", l.shape[1])
+            t.append_u64(b"n.sz", n.shape[1])
+            y = t.challenge_scalar(b"wnla_challenge")
+
+            l = sv.sv_add(l0, sv.sv_scale(l1, y))
+            n = sv.sv_add(sv.sv_scale(n0, rho_inv), sv.sv_scale(n1, y))
+            cvec = sv.sv_add(c0, sv.sv_scale(c1, y))
+            w_h = sv.sv_tensor(w_h, jnp.stack([one, y], axis=1))
+            w_g = sv.sv_tensor(w_g, jnp.stack([rho_k, y], axis=1))
+            if k < K - 1:
+                y2m1 = f.fn_sub(f.fn_mul(y, y), one)
+                folded = pv.msm(
+                    pv.pv_concat([pv.single(x_pt), pv.single(r_pt)]),
+                    jnp.stack([y, y2m1], axis=1),
+                )
+                commitment = c.pt_add(commitment, folded)
+            rho_k, mu_k = mu_k, mu2
+            rho_inv = mu_inv
+            mu_inv = f.fn_mul(mu_inv, mu_inv)
+
+        xs.reverse()
+        rs.reverse()
+        stack = lambda ps: PointJ(*(jnp.stack(cs, axis=1) for cs in zip(*ps)))
         return WNLAProofDev(r=stack(rs), x=stack(xs), l=l, n=n)
 
     # -- verify (wnla.rs:75-121) ----------------------------------------
@@ -281,7 +389,7 @@ class WNLADevice:
         neg_y2m1 = f.fn_neg(f.fn_sub(f.fn_mul(last_y, last_y), one))
         x0 = PointJ(*(a[:, 0] for a in xs))
         r0 = PointJ(*(a[:, 0] for a in rs))
-        from ..ops import pallas_fixed_base as fb
+        from ..ops import fixed_base as fb
 
         fixed_pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
         fixed_scs = sv.sv_concat([v_final[:, None], a_coef, b_coef])

@@ -15,7 +15,8 @@ from bppp_tpu.models import u64_fixture
 from bppp_tpu.oracle import curve as oc
 from bppp_tpu.ops import curve as dc
 from bppp_tpu.ops import field as f
-from bppp_tpu.ops import pallas_fixed_base as fb
+from bppp_tpu.ops import fixed_base as fb
+from bppp_tpu.ops import pallas_fixed_base as pfb
 from bppp_tpu.protocol import convert as cv
 from bppp_tpu.protocol import points as pv
 from bppp_tpu.utils.rng import SeededRng
@@ -68,7 +69,7 @@ def main():
 
     # 0) tables identical to a fresh direct build?
     unb = pv.PointJ(*(a[..., 0] for a in full_pts))  # (16, 49) lane 0
-    fresh = jax.jit(fb.build_tables)(unb)
+    fresh = jax.jit(pfb.build_tables)(unb)
     same = all(
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(fresh, dev.tables["full"])
@@ -78,7 +79,7 @@ def main():
     # 1) fixed part only: msm_fixed + pt_sum vs generic msm
     fs = rand_scal(rng2, 49)
     got = jax.jit(
-        lambda fs: dc.pt_sum(fb.msm_fixed(dev.tables["full"], fs), axis=1)
+        lambda fs: dc.pt_sum(pfb.msm_fixed(dev.tables["full"], fs), axis=1)
     )(fs)
     want = jax.jit(lambda fs: dc.msm(full_pts, fs))(fs)
     eq = np.asarray(jax.jit(dc.pt_eq)(got, want))
