@@ -24,11 +24,11 @@ def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
     if tables is not None and dc._pallas_enabled():
         from . import pallas_fixed_base as pfb
 
-        fixed = pfb.msm_fixed(tables, fixed_scalars)
+        fixed = pfb.msm_fixed_sum(tables, fixed_scalars)
         if fixed is not None:
             # dynamic points ride the shared-window small-MSM kernel
             dyn_sum = dc.msm(dyn_points, dyn_scalars)
-            return dc.pt_add(dc.pt_sum(fixed, axis=1), dyn_sum)
+            return dc.pt_add(fixed, dyn_sum)
     pts = dc.PointJ(
         *(
             jnp.concatenate([a, b], axis=1)
@@ -59,9 +59,8 @@ def msm_fixed_total(tables, points, scalars):
         from . import pallas_fixed_base as pfb
 
         flat = scalars.reshape(16, F, -1)
-        per = pfb.msm_fixed(tables, flat)
-        if per is not None:
-            s = dc.pt_sum(per, axis=1)  # (16, prod(sbatch))
+        s = pfb.msm_fixed_sum(tables, flat)  # (16, prod(sbatch))
+        if s is not None:
             return dc.PointJ(*(a.reshape((16,) + sbatch) for a in s))
     pbatch = points.x.shape[2:]
     extra = len(sbatch) - len(pbatch)

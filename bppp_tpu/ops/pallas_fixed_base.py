@@ -93,40 +93,48 @@ def _digits(scalars):
 
 
 def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
-    """Grid (F, B/TILE, 32 windows). Each step selects this window's
-    table entry per lane with a one-hot f32 matmul on the MXU (digit 0
-    selects the all-zero identity sentinel) and does ONE incomplete
-    mixed add into the scratch accumulator."""
-    w = pl.program_id(2)
+    """Grid (B/TILE, F) — the generator axis F is the SEQUENTIAL inner
+    dimension and carries the scratch accumulator, so the kernel emits
+    the COMPLETE MSM sum per lane (no separate F-axis tree reduction).
+    Each step loops this generator's 32 windows in-kernel: per window a
+    one-hot f32 matmul on the MXU selects the table entry per lane
+    (digit 0 selects the all-zero identity sentinel) and ONE incomplete
+    mixed add folds it in. Grid steps thus carry ~32x more compute per
+    step than a (F, B, W) grid — per-step pipeline overhead was the
+    dominant cost of the unfused version."""
+    f_i = pl.program_id(1)
 
-    @pl.when(w == 0)
+    @pl.when(f_i == 0)
     def _():
         ax[:] = jnp.zeros((16, TILE), jnp.uint32)
         ay[:] = jnp.pad(jnp.ones((1, TILE), jnp.uint32), [(0, 15), (0, 0)])
         az[:] = jnp.zeros((16, TILE), jnp.uint32)
 
-    d = dig_ref[0, 0, 0]  # (1, TILE) digits of this (f, b, w)
-    oh = (
-        jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
-    ).astype(jnp.float32)
-    qx = jax.lax.dot_general(
-        tabx_ref[0, 0], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.uint32).reshape(16, _SUB, 128)
-    qy = jax.lax.dot_general(
-        taby_ref[0, 0], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.uint32).reshape(16, _SUB, 128)
+    def w_body(w, carry):
+        X, Y, Z = carry
+        d = dig_ref[w, 0, 0]  # (1, TILE) digits of window w
+        oh = (
+            jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
+        ).astype(jnp.float32)
+        qx = jax.lax.dot_general(
+            tabx_ref[0, w], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32).reshape(16, _SUB, 128)
+        qy = jax.lax.dot_general(
+            taby_ref[0, w], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32).reshape(16, _SUB, 128)
+        return pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
 
     X = ax[:].reshape(16, _SUB, 128)
     Y = ay[:].reshape(16, _SUB, 128)
     Z = az[:].reshape(16, _SUB, 128)
-    nX, nY, nZ = pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
-    ax[:] = nX.reshape(16, TILE)
-    ay[:] = nY.reshape(16, TILE)
-    az[:] = nZ.reshape(16, TILE)
+    X, Y, Z = jax.lax.fori_loop(0, N_WINDOWS, w_body, (X, Y, Z))
+    ax[:] = X.reshape(16, TILE)
+    ay[:] = Y.reshape(16, TILE)
+    az[:] = Z.reshape(16, TILE)
 
-    @pl.when(w == N_WINDOWS - 1)
+    @pl.when(f_i == pl.num_programs(1) - 1)
     def _():
         ox[:] = ax[:]
         oy[:] = ay[:]
@@ -134,41 +142,45 @@ def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
 
 
 @jax.jit
-def fixed_msm_flat(tx, ty, dig):
+def fixed_msm_sum_flat(tx, ty, dig):
     """tx/ty: (F, 32, 16, 256) f32 tables; dig: (32, F, nb, 1, TILE)
-    window digits -> 3x (16, F*B) Jacobian [k_i]G_i per (i, b) lane."""
+    window digits -> 3x (16, B) Jacobian sum_i [k_i]G_i per lane."""
     F = tx.shape[0]
     nb = dig.shape[2]
     B = nb * TILE
     tab_spec = pl.BlockSpec(
-        (1, 1, 16, N_ENT),
-        lambda f, b, w: (f, w, 0, 0),
+        (1, N_WINDOWS, 16, N_ENT),
+        lambda b, f: (f, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     dig_spec = pl.BlockSpec(
-        (1, 1, 1, 1, TILE),
-        lambda f, b, w: (w, f, b, 0, 0),
+        (N_WINDOWS, 1, 1, 1, TILE),
+        lambda b, f: (0, f, b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (16, TILE), lambda f, b, w: (0, f * nb + b), memory_space=pltpu.VMEM
+        (16, TILE), lambda b, f: (0, b), memory_space=pltpu.VMEM
     )
-    out = jax.ShapeDtypeStruct((16, F * B), jnp.uint32)
+    out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     return pl.pallas_call(
         _fixed_msm_kernel,
-        grid=(F, nb, N_WINDOWS),
+        grid=(nb, F),
         in_specs=[tab_spec, tab_spec, dig_spec],
         out_specs=[out_spec] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[pltpu.VMEM((16, TILE), jnp.uint32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=INTERPRET(),
     )(tx, ty, dig)
 
 
-def msm_fixed(tables, scalars):
+def msm_fixed_sum(tables, scalars):
     """tables: (tx, ty) from build_tables, F fixed points; scalars:
-    (16, F, B) F_n limbs. -> PointJ coords (16, F, B): per-lane
-    [s_i] G_i (caller reduces the F axis, e.g. curve.pt_sum).
+    (16, F, B) F_n limbs. -> PointJ coords (16, B): the complete MSM
+    sum_i [s_i] G_i per lane (the F-axis reduction happens inside the
+    kernel's carried accumulator).
     Returns None if shapes don't tile (caller falls back)."""
     from .curve import PointJ
 
@@ -178,10 +190,8 @@ def msm_fixed(tables, scalars):
         return None
     B = scalars.shape[-1]
     if B % TILE != 0:
-        return None  # per-generator lane tiles need B to tile
+        return None  # lane tiles need B to tile
     nb = B // TILE
     dig = _digits(scalars).reshape(N_WINDOWS, F, nb, 1, TILE)
-    sx, sy, sz = fixed_msm_flat(tx, ty, dig)
-    return PointJ(
-        sx.reshape(16, F, B), sy.reshape(16, F, B), sz.reshape(16, F, B)
-    )
+    sx, sy, sz = fixed_msm_sum_flat(tx, ty, dig)
+    return PointJ(sx, sy, sz)

@@ -156,7 +156,8 @@ def test_msm_small_kernel_vs_oracle(rng):
 
 
 def test_fixed_base_msm_vs_oracle(rng):
-    """build_tables + fixed_msm kernel == [s_i] G_i (F=2, B=TILE)."""
+    """build_tables + fused fixed_msm kernel == sum_i [s_i] G_i
+    (F=2, B=TILE; the F-axis reduction is carried in-kernel)."""
     import jax
 
     from bppp_tpu.ops import curve as dc
@@ -168,21 +169,21 @@ def test_fixed_base_msm_vs_oracle(rng):
     tables = jax.jit(fb.build_tables)(pts)
 
     ks = [_rand_wide(rng, of.N, B) for _ in range(F)]
-    ks[0][0] = 0  # digit-0-everywhere lane -> identity
+    ks[0][0] = 0  # zero scalar -> that generator contributes identity
+    ks[0][2] = 0
+    ks[1][2] = 0  # all-zero lane -> MSM result is the identity
     ks[1][1] = 1
     scal = jnp.stack(
         [jnp.asarray(f.ints_to_limbs(krow)) for krow in ks], axis=1
     )  # (16, F, B)
-    out = fb.msm_fixed(tables, scal)
+    out = fb.msm_fixed_sum(tables, scal)
     assert out is not None
-    for i, p in [(0, 0), (0, 5), (1, 1), (1, 511)]:
-        got = [oc.Point(*coords) for coords in zip(
-            f.limbs_to_ints(np.asarray(out.x[:, i, p : p + 1])),
-            f.limbs_to_ints(np.asarray(out.y[:, i, p : p + 1])),
-            f.limbs_to_ints(np.asarray(out.z[:, i, p : p + 1])),
-        )][0]
-        want = base_pts[i].mul(ks[i][p])
-        assert got.eq(want), f"point {i} lane {p}"
+    got = _to_points(out.x, out.y, out.z)
+    for p in [0, 1, 2, 5, 511]:
+        want = oc.IDENTITY
+        for i in range(F):
+            want = want.add(base_pts[i].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
 
 
 def test_keccak_kernel_vs_oracle(rng):

@@ -54,18 +54,20 @@ def main():
             print("  want", want[:6], "got", got[:6])
     print("select check done, bad =", bad, flush=True)
 
-    out = fb.msm_fixed(tables, scal)
+    out = fb.msm_fixed_sum(tables, scal)
     ox = np.asarray(out.x)
     oy = np.asarray(out.y)
     oz = np.asarray(out.z)
     bad = 0
-    for (i, p) in [(0, 0), (5, 100), (48, 511), (20, 7)]:
+    for p in [0, 100, 511, 7]:
         got = oc.Point(
-            sum(int(ox[l, i, p]) << (16 * l) for l in range(16)),
-            sum(int(oy[l, i, p]) << (16 * l) for l in range(16)),
-            sum(int(oz[l, i, p]) << (16 * l) for l in range(16)),
+            sum(int(ox[l, p]) << (16 * l) for l in range(16)),
+            sum(int(oy[l, p]) << (16 * l) for l in range(16)),
+            sum(int(oz[l, p]) << (16 * l) for l in range(16)),
         )
-        want = base[i].mul(ks[i][p])
+        want = oc.IDENTITY
+        for i in range(len(base)):
+            want = want.add(base[i].mul(ks[i][p]))
         if not got.eq(want):
             bad += 1
             print(f"ACCUM MISMATCH i={i} p={p}")

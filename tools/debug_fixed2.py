@@ -79,7 +79,7 @@ def main():
     # 1) fixed part only: msm_fixed + pt_sum vs generic msm
     fs = rand_scal(rng2, 49)
     got = jax.jit(
-        lambda fs: dc.pt_sum(pfb.msm_fixed(dev.tables["full"], fs), axis=1)
+        lambda fs: pfb.msm_fixed_sum(dev.tables["full"], fs)
     )(fs)
     want = jax.jit(lambda fs: dc.msm(full_pts, fs))(fs)
     eq = np.asarray(jax.jit(dc.pt_eq)(got, want))
