@@ -409,7 +409,14 @@ def msm(points: PointJ, scalars) -> PointJ:
 
 
 def _msm_small(points: PointJ, scalars) -> PointJ | None:
-    """Shared-window kernel path for L <= 6 points; None if not viable."""
+    """Shared-window kernel path for L <= 6 points; None if not viable.
+
+    With GLV enabled (default; BPPP_GLV=0 disables), each 256-bit scalar
+    splits into two signed <=129-bit halves (ops/glv.py) and the kernel
+    walks 33 windows instead of 64 — 132 doubles instead of 256 — with
+    phi(P) = (beta*x, y) applied to selected table entries on the fly."""
+    import os
+
     from . import pallas_msm as pm
 
     L = points.x.shape[1]
@@ -426,7 +433,23 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
     def re(c):
         return jnp.moveaxis(c, 1, 0).reshape(L, 16, prod)
 
-    outs = pm.msm_small_flat(re(points.x), re(points.y), re(points.z), re(kk))
+    if os.environ.get("BPPP_GLV", "1") != "0":
+        from . import glv
+
+        m1, n1, m2, n2 = glv.decompose(kk.reshape(16, L, prod))
+        mags = jnp.moveaxis(
+            jnp.stack([m1, m2], axis=2).reshape(16, 2 * L, prod), 1, 0
+        )
+        signs = (
+            jnp.stack([n1, n2], axis=1).reshape(2 * L, prod).astype(jnp.uint32)
+        )
+        outs = pm.msm_small_glv_flat(
+            re(points.x), re(points.y), re(points.z), mags, signs
+        )
+    else:
+        outs = pm.msm_small_flat(
+            re(points.x), re(points.y), re(points.z), re(kk)
+        )
     return PointJ(*(o.reshape((16,) + batch) for o in outs))
 
 

@@ -335,6 +335,158 @@ def msm_small_flat(px, py, pz, k):
     )(px, py, pz, k)
 
 
+# -- GLV shared-window MSM (dynamic points, halved window walk) ---------------
+
+def _msm_small_glv_kernel(
+    W, px, py, pz, k_ref, sg_ref, ox, oy, oz, tabx, taby, tabz, dig
+):
+    """GLV variant of _msm_small_kernel: D points but 2D scalar HALVES
+    of <= 4W bits each (W = glv.GLV_WINDOWS = 33), so the shared walk
+    does 4W=132 doubles instead of 256. Scalar half j = 2i+1 multiplies
+    phi(P_i) = (beta*x, y); its window table is beta * (x-entries of
+    P_i's table), applied on the fly after selection — the VMEM tables
+    do NOT grow. Negative halves negate the selected entry's y per lane
+    (sg_ref). Incomplete adds stay sound: an accumulator/entry collision
+    would need a known small-coefficient lambda-relation, i.e. a DLOG
+    break (identity lanes are masked as before)."""
+    D = px.shape[0]
+    D2 = 2 * D
+    zero3 = jnp.zeros((16, _SUB, 128), jnp.uint32)
+    one3 = jnp.pad(
+        jnp.ones((1, _SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+    )
+    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (_SUB, 128))
+
+    def ld_pt(i):
+        return (
+            px[i].reshape(16, _SUB, 128),
+            py[i].reshape(16, _SUB, 128),
+            pz[i].reshape(16, _SUB, 128),
+        )
+
+    # magnitude digits, MSB-first planes per scalar half: dig[j*W + w]
+    def dig_body(j, _):
+        kk = k_ref[j]  # (16, TILE), only limbs 0..ceil(4W/16) nonzero
+        planes = jnp.stack(
+            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(W - 1, -1, -1)],
+            axis=0,
+        )
+        dig[pl.ds(j * W, W)] = planes
+        return 0
+
+    jax.lax.fori_loop(0, D2, dig_body, 0)
+
+    # tables: tab[i*16 + d] = [d] P_i (same build as _msm_small_kernel)
+    def tab_i(i, _):
+        X, Y, Z = ld_pt(i)
+        dx, dy, dz = pf.pt_dbl(X, Y, Z)
+        p_id = pf.is_zero(Z)
+        dx = pf.select(p_id, X, dx)
+        dy = pf.select(p_id, Y, dy)
+        dz = pf.select(p_id, Z, dz)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, TILE)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, TILE)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, TILE)
+
+        def ent_body(d, _):
+            cx = tabx[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, _SUB, 128)
+            nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, TILE)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, TILE)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, TILE)
+            return 0
+
+        jax.lax.fori_loop(3, 16, ent_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, D, tab_i, 0)
+
+    # window walk: 4 doubles + 2D masked adds per window
+    def walk(w, acc):
+        sx, sy, sz = acc
+
+        def dstep(_, st):
+            return pf.pt_dbl(*st)
+
+        sx, sy, sz = jax.lax.fori_loop(0, 4, dstep, (sx, sy, sz))
+
+        def add_j(j, st):
+            sx, sy, sz = st
+            i = j // 2
+            is_phi = (j % 2) == 1
+            d = dig[j * W + w].reshape(_SUB, 128)
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            qx = _tab_select(ents_x, d)
+            qy = _tab_select(ents_y, d)
+            qz = _tab_select(ents_z, d)
+            qx = jnp.where(is_phi, pf.mul_p(qx, beta3), qx)
+            neg = sg_ref[j].reshape(_SUB, 128) != 0
+            qy = pf.select(neg, pf.sub_p(jnp.zeros_like(qy), qy), qy)
+            return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
+
+        return jax.lax.fori_loop(0, D2, add_j, (sx, sy, sz))
+
+    sx, sy, sz = jax.lax.fori_loop(0, W, walk, (zero3, one3, zero3))
+    _st(ox, sx)
+    _st(oy, sy)
+    _st(oz, sz)
+
+
+_GLV_BETA16 = None  # set below (avoids importing glv before jax config)
+
+
+def _glv_windows():
+    from . import glv
+
+    global _GLV_BETA16
+    if _GLV_BETA16 is None:
+        _GLV_BETA16 = np.asarray(glv._BETA_LIMBS, np.uint32).reshape(-1)
+    return glv.GLV_WINDOWS
+
+
+@jax.jit
+def msm_small_glv_flat(px, py, pz, k, sg):
+    """(D,16,B) coords, (2D,16,B) GLV magnitude halves, (2D,B) uint32
+    negate masks -> 3x (16,B): reduced MSM with a 132-double walk."""
+    W = _glv_windows()
+    D, _, B = px.shape
+    D2 = 2 * D
+    spec_pt = pl.BlockSpec(
+        (D, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+    )
+    spec_k = pl.BlockSpec(
+        (D2, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+    )
+    spec_sg = pl.BlockSpec((D2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
+    body = functools.partial(_msm_small_glv_kernel, W)
+    return pl.pallas_call(
+        body,
+        grid=(B // TILE,),
+        in_specs=[spec_pt] * 3 + [spec_k, spec_sg],
+        out_specs=[spec_out] * 3,
+        out_shape=[out] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D2 * W, TILE), jnp.uint32),
+        ],
+        interpret=INTERPRET(),
+    )(px, py, pz, k, sg)
+
+
 # -- fused reduction over a points axis ---------------------------------------
 
 def _tree_kernel(L: int, px, py, pz, ox, oy, oz):

@@ -155,6 +155,64 @@ def test_msm_small_kernel_vs_oracle(rng):
         assert got[p].eq(want), f"lane {p}"
 
 
+def test_msm_small_glv_kernel_vs_oracle(rng):
+    """GLV shared-window MSM kernel (halved window walk, beta-on-the-fly
+    phi tables, per-lane sign negation) vs the oracle, with identity
+    point and zero/one/lambda scalar edge lanes."""
+    from bppp_tpu.ops import glv
+
+    D, B = 3, TILE
+    rows = [_rand_points(rng, B) for _ in range(D)]
+    rows[1][0] = oc.IDENTITY
+    ks = [_rand_wide(rng, of.N, B) for _ in range(D)]
+    ks[0][1] = 0
+    ks[2][2] = 1
+    ks[0][3] = glv.LAMBDA
+    ks[1][4] = of.N - 1
+    px = jnp.stack([_flat_points(r)[0] for r in rows], axis=0)
+    py = jnp.stack([_flat_points(r)[1] for r in rows], axis=0)
+    pz = jnp.stack([_flat_points(r)[2] for r in rows], axis=0)
+    kk = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=0)
+
+    import jax
+
+    m1, n1, m2, n2 = jax.jit(glv.decompose)(jnp.moveaxis(kk, 0, 1))
+    mags = jnp.moveaxis(jnp.stack([m1, m2], axis=2).reshape(16, 2 * D, B), 1, 0)
+    signs = jnp.stack([n1, n2], axis=1).reshape(2 * D, B).astype(jnp.uint32)
+    ox, oy, oz = pm.msm_small_glv_flat(px, py, pz, mags, signs)
+    got = _to_points(ox, oy, oz)
+    for p in [0, 1, 2, 3, 4, 100, 511]:
+        want = oc.IDENTITY
+        for i in range(D):
+            want = want.add(rows[i][p].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
+def test_msm_dispatch_glv_vs_oracle(rng, monkeypatch):
+    """curve.msm end-to-end through the GLV dispatch (_msm_small ->
+    glv.decompose -> msm_small_glv_flat) vs the oracle."""
+    monkeypatch.setenv("BPPP_PALLAS", "1")
+    from bppp_tpu.ops import curve as dc
+
+    L, B = 2, TILE
+    rows = [_rand_points(rng, B) for _ in range(L)]
+    ks = [_rand_wide(rng, of.N, B) for _ in range(L)]
+    ks[0][0] = 0
+    pts = dc.PointJ(
+        jnp.stack([_flat_points(r)[0] for r in rows], axis=1),
+        jnp.stack([_flat_points(r)[1] for r in rows], axis=1),
+        jnp.stack([_flat_points(r)[2] for r in rows], axis=1),
+    )
+    kk = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=1)
+    out = dc.msm(pts, kk)
+    got = _to_points(out.x, out.y, out.z)
+    for p in [0, 1, 100, 511]:
+        want = oc.IDENTITY
+        for i in range(L):
+            want = want.add(rows[i][p].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
 def test_fixed_base_msm_vs_oracle(rng):
     """build_tables + fused fixed_msm kernel == sum_i [s_i] G_i
     (F=2, B=TILE; the F-axis reduction is carried in-kernel)."""
