@@ -61,7 +61,8 @@ def bench_prove(B: int, reps: int, backend: str) -> None:
         t = DevTranscript(b"u64 range proof", batch=(B,))
         return dev.prove(x_words, s_limbs, t, blind)
 
-    prog = aot.cached(f"bench_u64_prove_b{B}", prove_fn)
+    sub = os.environ.get("BPPP_SUB", "4")
+    prog = aot.cached(f"bench_u64_prove_b{B}_s{sub}", prove_fn)
     proof = prog(dev, x_words, s_limbs, blind)  # warmup
     jax.block_until_ready(proof)
 
@@ -132,7 +133,10 @@ def main() -> None:
         t = DevTranscript(b"u64 range proof", batch=(B,))
         return dev.verify(com_bytes, t, pb, fast=True)
 
-    prog = aot.cached(f"bench_u64_verify_fast_b{B}", verify_fn)
+    # BPPP_SUB changes kernel tiling without changing the source hash the
+    # AOT cache keys on — fold it into the program name.
+    sub = os.environ.get("BPPP_SUB", "4")
+    prog = aot.cached(f"bench_u64_verify_fast_b{B}_s{sub}", verify_fn)
 
     ok = np.asarray(prog(dev, com_bytes, pb))  # warmup (trace/compile/load)
     if not bool(ok.all()):

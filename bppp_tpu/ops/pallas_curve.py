@@ -19,8 +19,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_field as pf
 
-TILE = 512
-_SUB = 4  # TILE = _SUB * 128
+# Lane-tile geometry. Stacked element ops run on (16, _SUB, 128) arrays;
+# Mosaic tiles the trailing (S, 128) dims into (8, 128) int vregs, so
+# _SUB=4 half-fills every vreg's sublanes. Env-tunable for hardware A/B
+# (tools/sublane_probe.py); kernels require B % TILE == 0, so _SUB=8
+# needs batch >= 1024. NOTE: the jax.export AOT cache keys on SOURCE, not
+# env — benches must fold BPPP_SUB into their cache names.
+_SUB = int(os.environ.get("BPPP_SUB", "4"))
+TILE = _SUB * 128
 
 # CPU-validation escape hatch: run every pallas_call in interpret mode so
 # kernel semantics are testable without a TPU (tests/test_pallas_kernels.py).
