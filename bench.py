@@ -26,6 +26,15 @@ BASELINE_VERIFIES_PER_S = 262.6  # macbook-m3-pro-36GB-bench-result.txt:16
 BASELINE_PROVES_PER_S = 69.6  # macbook-m3-pro-36GB-bench-result.txt:9
 
 
+def _env_tag() -> str:
+    """Env knobs that change the traced program without changing the
+    source hash the AOT cache keys on — fold them into the program name
+    so A/B runs never reuse a stale cached program."""
+    sub = os.environ.get("BPPP_SUB", "4")
+    glv = os.environ.get("BPPP_GLV", "1")
+    return f"_s{sub}" + ("" if glv != "0" else "_noglv")
+
+
 def bench_prove(B: int, reps: int, backend: str) -> None:
     """Batched device prover throughput (BPPP_BENCH_MODE=prove)."""
     import jax
@@ -61,8 +70,7 @@ def bench_prove(B: int, reps: int, backend: str) -> None:
         t = DevTranscript(b"u64 range proof", batch=(B,))
         return dev.prove(x_words, s_limbs, t, blind)
 
-    sub = os.environ.get("BPPP_SUB", "4")
-    prog = aot.cached(f"bench_u64_prove_b{B}_s{sub}", prove_fn)
+    prog = aot.cached(f"bench_u64_prove_b{B}{_env_tag()}", prove_fn)
     proof = prog(dev, x_words, s_limbs, blind)  # warmup
     jax.block_until_ready(proof)
 
@@ -133,10 +141,7 @@ def main() -> None:
         t = DevTranscript(b"u64 range proof", batch=(B,))
         return dev.verify(com_bytes, t, pb, fast=True)
 
-    # BPPP_SUB changes kernel tiling without changing the source hash the
-    # AOT cache keys on — fold it into the program name.
-    sub = os.environ.get("BPPP_SUB", "4")
-    prog = aot.cached(f"bench_u64_verify_fast_b{B}_s{sub}", verify_fn)
+    prog = aot.cached(f"bench_u64_verify_fast_b{B}{_env_tag()}", verify_fn)
 
     ok = np.asarray(prog(dev, com_bytes, pb))  # warmup (trace/compile/load)
     if not bool(ok.all()):
