@@ -71,6 +71,10 @@ def bench_prove(B: int, reps: int, backend: str) -> None:
         return dev.prove(x_words, s_limbs, t, blind)
 
     prog = aot.cached(f"bench_u64_prove_b{B}{_env_tag()}", prove_fn)
+    if os.environ.get("BPPP_BENCH_PRETRACE"):
+        prog.warm(dev, x_words, s_limbs, blind)
+        print(json.dumps({"metric": "pretrace", "program": prog.name}))
+        return
     proof = prog(dev, x_words, s_limbs, blind)  # warmup
     jax.block_until_ready(proof)
 
@@ -102,9 +106,17 @@ def bench_prove(B: int, reps: int, backend: str) -> None:
 
 
 def main() -> None:
+    # Pretrace mode (BPPP_BENCH_PRETRACE=1 BPPP_AOT_TARGET=tpu on a CPU
+    # host): reproduce the TPU run's traced program exactly — force the
+    # pallas dispatch and the fixed-base tables the TPU fixture builds.
+    if os.environ.get("BPPP_BENCH_PRETRACE") and os.environ.get("BPPP_AOT_TARGET"):
+        tgt = os.environ["BPPP_AOT_TARGET"]
+        os.environ.setdefault("BPPP_PALLAS", "1" if tgt == "tpu" else "0")
+        os.environ.setdefault("BPPP_FIXED_TABLES", "1" if tgt == "tpu" else "0")
+
     import jax
 
-    backend = jax.default_backend()
+    backend = os.environ.get("BPPP_AOT_TARGET") or jax.default_backend()
     B = int(os.environ.get("BPPP_BENCH_BATCH", 512 if backend != "cpu" else 16))
     reps = int(os.environ.get("BPPP_BENCH_REPS", 3))
     if os.environ.get("BPPP_BENCH_MODE", "verify") == "prove":
@@ -142,6 +154,14 @@ def main() -> None:
         return dev.verify(com_bytes, t, pb, fast=True)
 
     prog = aot.cached(f"bench_u64_verify_fast_b{B}{_env_tag()}", verify_fn)
+
+    # BPPP_BENCH_PRETRACE=1 (+ BPPP_AOT_TARGET=tpu on a CPU host): build
+    # the serialized export without executing, so the first on-device run
+    # skips the tens-of-minutes cold re-trace.
+    if os.environ.get("BPPP_BENCH_PRETRACE"):
+        prog.warm(dev, com_bytes, pb)
+        print(json.dumps({"metric": "pretrace", "program": prog.name}))
+        return
 
     ok = np.asarray(prog(dev, com_bytes, pb))  # warmup (trace/compile/load)
     if not bool(ok.all()):

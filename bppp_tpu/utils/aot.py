@@ -151,8 +151,12 @@ class CachedProgram:
     def _path(self, sig: str, platform: str) -> Path:
         return self.dir / f"{self.name}-{platform}-{sig}.jaxexport"
 
-    def __call__(self, *args):
-        platform = jax.default_backend()
+    def _get(self, args):
+        """Load or build the export for the target platform. BPPP_AOT_TARGET
+        overrides the platform (cross-platform pre-tracing: pallas TPU
+        kernels lower to Mosaic fine on a CPU-only host), producing the
+        exact cache file a later run on that platform will hit."""
+        platform = os.environ.get("BPPP_AOT_TARGET") or jax.default_backend()
         sig = _signature(args, platform)
         key = (sig, platform)
         exp = self._loaded.get(key)
@@ -169,13 +173,26 @@ class CachedProgram:
                     ),
                     args,
                 )
-                exp = jax_export.export(jax.jit(self.fn))(*specs)
+                kw = (
+                    {"platforms": [platform]}
+                    if platform != jax.default_backend()
+                    else {}
+                )
+                exp = jax_export.export(jax.jit(self.fn), **kw)(*specs)
                 self.dir.mkdir(parents=True, exist_ok=True)
                 tmp = path.with_suffix(".tmp")
                 tmp.write_bytes(exp.serialize())
                 os.replace(tmp, path)
             self._loaded[key] = exp
-        return exp.call(*args)
+        return exp
+
+    def warm(self, *args) -> None:
+        """Trace + serialize without executing (works for a platform the
+        current host cannot run — see BPPP_AOT_TARGET in _get)."""
+        self._get(args)
+
+    def __call__(self, *args):
+        return self._get(args).call(*args)
 
 
 def cached(name: str, fn, cache_dir: str | None = None) -> CachedProgram:
