@@ -32,7 +32,9 @@ def _env_tag() -> str:
     so A/B runs never reuse a stale cached program."""
     sub = os.environ.get("BPPP_SUB", "4")
     glv = os.environ.get("BPPP_GLV", "1")
-    return f"_s{sub}" + ("" if glv != "0" else "_noglv")
+    fbw = os.environ.get("BPPP_FBW", "8")
+    tag = f"_s{sub}" + ("" if glv != "0" else "_noglv")
+    return tag + ("" if fbw == "8" else f"_w{fbw}")
 
 
 def bench_prove(B: int, reps: int, backend: str) -> None:

@@ -4,21 +4,29 @@
 The verifier's dominant cost was the generic per-lane scalar-mul ladder
 over the FIXED generator vectors (g, h_vec, g_vec): 334 point ops per
 lane, ~256 of them doubles. For fixed bases the doubles and in-kernel
-table builds disappear, and 8-bit windows halve the add count again:
+table builds disappear, and w-bit windows cut the add count to 256/w:
 
   * setup (once per generator set): affine tables
-    T[w][d] = [d * 256^w] G_i for the 32 8-bit windows, d = 1..255,
+    T[w][d] = [d * 2^(w*W)] G_i for the 256/W W-bit windows, d = 1..2^W-1,
     stored as f32 (16-bit limbs are exact in f32) pre-transposed for the
     MXU (build_tables — plain JAX, one batched inversion for affine).
   * per verify: per-lane window digits select entries with an in-kernel
-    one-hot f32 matmul on the MXU — (16, 256) @ (256, TILE) per coord —
-    ~6 statements instead of the 480 masked-select statements the 4-bit
-    SMEM-splat selection needed.
-  * kernel (_fixed_msm_kernel): grid (F, lane_tiles, 32 windows); each
-    step does ONE INCOMPLETE mixed add (affine q, z=1; identity lanes
+    one-hot f32 matmul on the MXU. The x and y tables are stacked along
+    the limb axis at call time so ONE (32, N_ENT) @ (N_ENT, TILE) matmul
+    selects both affine coordinates (half the matmul launches and 2x the
+    MXU row utilization of separate x/y selections).
+  * kernel (_fixed_msm_kernel): grid (lane_tiles, F); each step does ONE
+    INCOMPLETE mixed add per window (affine q, z=1; identity lanes
     masked, collisions cryptographically unreachable — see
     pallas_field.pt_add_mixed_inc) into a VMEM scratch accumulator —
-    32 adds/lane total, no doubles, no dbl-branch in the add body.
+    no doubles, no dbl-branch in the add body.
+
+Window width is env-tunable for hardware A/B: BPPP_FBW in {2, 4, 8}
+(default 8). Smaller windows trade more mixed adds (256/W per generator)
+for narrower one-hot selections (2^W): the selection matmul + one-hot
+build cost scales with 2^W while the add chain scales with 256/W, and
+which side dominates is a hardware question (bench.py folds the knob
+into its AOT program names).
 
 Replaces the reference's naive per-term MSM (util.rs:46-60) on the
 verify hot path; the commitment-chain points (C_S, X_k, ...) are still
@@ -26,6 +34,8 @@ handled by the shared-window small-MSM kernel (they are per-proof data).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,41 +45,44 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB
 
-N_WINDOWS = 32
-N_ENT = 256
+W_BITS = int(os.environ.get("BPPP_FBW", "8"))
+assert W_BITS in (2, 4, 8), "BPPP_FBW must divide 16 and fit one-hot VMEM"
+N_WINDOWS = 256 // W_BITS
+N_ENT = 1 << W_BITS
+_PER_LIMB = 16 // W_BITS
 
 
 def build_tables(points):
     """points: PointJ coords (16, F) — unbatched fixed generators.
-    -> (tx, ty): float32 (F, 32, 16, 256) window tables (point, window,
-    limb, entry), entry 0 = (0, 0) (identity sentinel; the kernel's
+    -> (tx, ty): float32 (F, N_WINDOWS, 16, N_ENT) window tables (point,
+    window, limb, entry), entry 0 = (0, 0) (identity sentinel; the kernel's
     mixed add treats all-zero affine coords as the identity). The limb
     axis leads the entry axis so the kernel's selection is a plain
-    (16, 256) @ (256, TILE) matmul."""
+    one-hot matmul."""
     from . import curve as dc
 
     F = points.x.shape[1]
 
     def w_step(base, _):
-        # base: PointJ (16, F) = [256^w] G_i; entries [2]..[255]*base
+        # base: PointJ (16, F) = [2^(w*W)] G_i; entries [2]..[N_ENT-1]*base
         def ent_body(cur, _):
             nxt = dc._pt_add_jnp(cur, base)
             return nxt, nxt
 
         _, rest = jax.lax.scan(ent_body, base, None, length=N_ENT - 2)
-        # rest coords: (254, 16, F); entry d = rest[d-2] for d >= 2
+        # rest coords: (N_ENT-2, 16, F); entry d = rest[d-2] for d >= 2
         ents = dc.PointJ(
             *(
                 jnp.concatenate([b[None], r], axis=0)
                 for b, r in zip(base, rest)
             )
-        )  # (255, 16, F)
-        # [256^{w+1}] = double of entry 128 (= rest[126])
-        nxt_base = dc._pt_double_jnp(dc.PointJ(*(r[126] for r in rest)))
+        )  # (N_ENT-1, 16, F)
+        # [2^((w+1)W)] = double of entry N_ENT/2 (= rest[N_ENT/2 - 2])
+        nxt_base = dc._pt_double_jnp(dc.PointJ(*(r[N_ENT // 2 - 2] for r in rest)))
         return nxt_base, ents
 
     _, ents = jax.lax.scan(w_step, points, None, length=N_WINDOWS)
-    # ents coords: (32, 255, 16, F) -> affine in ONE batched inversion
+    # ents coords: (N_WINDOWS, N_ENT-1, 16, F) -> affine, ONE batched inversion
     flat = dc.PointJ(*(c.transpose(2, 0, 1, 3).reshape(16, -1) for c in ents))
     ax, ay, _ = dc.to_affine(flat)
     ax = ax.reshape(16, N_WINDOWS, N_ENT - 1, F)
@@ -77,29 +90,33 @@ def build_tables(points):
     zero = jnp.zeros((16, N_WINDOWS, 1, F), jnp.uint32)
     tx = jnp.concatenate([zero, ax], axis=2)  # entry 0 = identity sentinel
     ty = jnp.concatenate([zero, ay], axis=2)
-    # -> (F, 32, 16 limb, 256 ent) f32: one (f, w) block streams to VMEM
-    # per grid step as the selection matmul's LHS
+    # -> (F, N_WINDOWS, 16 limb, N_ENT ent) f32: one (f, w) block streams
+    # to VMEM per grid step as the selection matmul's LHS
     tx = tx.transpose(3, 1, 0, 2).astype(jnp.float32)
     ty = ty.transpose(3, 1, 0, 2).astype(jnp.float32)
     return tx, ty
 
 
 def _digits(scalars):
-    """(16, F, B) limbs -> (32, F, B) window bytes (LSB window first)."""
+    """(16, F, B) limbs -> (N_WINDOWS, F, B) window digits (LSB first)."""
     rows = []
     for w in range(N_WINDOWS):
-        rows.append((scalars[w // 2] >> (8 * (w % 2))) & 255)
+        rows.append(
+            (scalars[w // _PER_LIMB] >> (W_BITS * (w % _PER_LIMB)))
+            & (N_ENT - 1)
+        )
     return jnp.stack(rows, axis=0)
 
 
-def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
+def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
     """Grid (B/TILE, F) — the generator axis F is the SEQUENTIAL inner
     dimension and carries the scratch accumulator, so the kernel emits
     the COMPLETE MSM sum per lane (no separate F-axis tree reduction).
-    Each step loops this generator's 32 windows in-kernel: per window a
-    one-hot f32 matmul on the MXU selects the table entry per lane
-    (digit 0 selects the all-zero identity sentinel) and ONE incomplete
-    mixed add folds it in. Grid steps thus carry ~32x more compute per
+    Each step loops this generator's windows in-kernel: per window ONE
+    one-hot f32 matmul on the MXU selects both affine coords of the
+    table entry per lane (digit 0 selects the all-zero identity
+    sentinel; x rows stack above y rows) and ONE incomplete mixed add
+    folds it in. Grid steps thus carry ~N_WINDOWS x more compute per
     step than a (F, B, W) grid — per-step pipeline overhead was the
     dominant cost of the unfused version."""
     f_i = pl.program_id(1)
@@ -116,14 +133,12 @@ def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
         oh = (
             jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
         ).astype(jnp.float32)
-        qx = jax.lax.dot_general(
-            tabx_ref[0, w], oh, (((1,), (0,)), ((), ())),
+        q = jax.lax.dot_general(
+            tab_ref[0, w], oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.uint32).reshape(16, _SUB, 128)
-        qy = jax.lax.dot_general(
-            taby_ref[0, w], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.uint32).reshape(16, _SUB, 128)
+        ).astype(jnp.uint32)  # (32, TILE): x limbs stacked above y limbs
+        qx = q[:16].reshape(16, _SUB, 128)
+        qy = q[16:].reshape(16, _SUB, 128)
         return pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
 
     X = ax[:].reshape(16, _SUB, 128)
@@ -142,14 +157,15 @@ def _fixed_msm_kernel(tabx_ref, taby_ref, dig_ref, ox, oy, oz, ax, ay, az):
 
 
 @jax.jit
-def fixed_msm_sum_flat(tx, ty, dig):
-    """tx/ty: (F, 32, 16, 256) f32 tables; dig: (32, F, nb, 1, TILE)
-    window digits -> 3x (16, B) Jacobian sum_i [k_i]G_i per lane."""
-    F = tx.shape[0]
+def fixed_msm_sum_flat(tab, dig):
+    """tab: (F, N_WINDOWS, 32, N_ENT) f32 stacked x/y tables; dig:
+    (N_WINDOWS, F, nb, 1, TILE) window digits -> 3x (16, B) Jacobian
+    sum_i [k_i]G_i per lane."""
+    F = tab.shape[0]
     nb = dig.shape[2]
     B = nb * TILE
     tab_spec = pl.BlockSpec(
-        (1, N_WINDOWS, 16, N_ENT),
+        (1, N_WINDOWS, 32, N_ENT),
         lambda b, f: (f, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -165,7 +181,7 @@ def fixed_msm_sum_flat(tx, ty, dig):
     return pl.pallas_call(
         _fixed_msm_kernel,
         grid=(nb, F),
-        in_specs=[tab_spec, tab_spec, dig_spec],
+        in_specs=[tab_spec, dig_spec],
         out_specs=[out_spec] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[pltpu.VMEM((16, TILE), jnp.uint32)] * 3,
@@ -173,7 +189,7 @@ def fixed_msm_sum_flat(tx, ty, dig):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=INTERPRET(),
-    )(tx, ty, dig)
+    )(tab, dig)
 
 
 def msm_fixed_sum(tables, scalars):
@@ -192,6 +208,10 @@ def msm_fixed_sum(tables, scalars):
     if B % TILE != 0:
         return None  # lane tiles need B to tile
     nb = B // TILE
+    # Stack x above y along the limb axis so the kernel's selection is
+    # one matmul per window; XLA hoists/CSEs the concat across calls
+    # within a program (loop-invariant: tables are constants per call).
+    tab = jnp.concatenate([tx, ty], axis=2)
     dig = _digits(scalars).reshape(N_WINDOWS, F, nb, 1, TILE)
-    sx, sy, sz = fixed_msm_sum_flat(tx, ty, dig)
+    sx, sy, sz = fixed_msm_sum_flat(tab, dig)
     return PointJ(sx, sy, sz)

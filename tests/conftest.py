@@ -1,6 +1,17 @@
 """Test configuration: run all tests on CPU with 8 virtual devices so the
-multi-chip sharding path is exercised without a TPU pod (SURVEY.md §4)."""
+multi-chip sharding path is exercised without a TPU pod (SURVEY.md §4).
+
+Suite-level invocations (a directory target, e.g. `pytest tests/ -x -q`)
+run each test FILE in its own subprocess: long single-process runs of the
+full suite segfault inside jaxlib after ~a dozen large AOT-imported
+programs have been loaded (heap corruption — crash site is the persistent
+-cache zstd read in whichever compile comes next; every file passes in
+isolation). Per-file processes bound the accumulation deterministically.
+Opt out with BPPP_SUITE_ISOLATE=0. Single-file / node-id invocations are
+unaffected."""
 import os
+import subprocess
+import sys
 
 # Force CPU: the ambient environment may pin JAX_PLATFORMS to a real
 # accelerator; tests must run on the 8-virtual-device CPU mesh.
@@ -21,3 +32,48 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_cmdline_main(config):
+    """Take over directory-level runs and re-exec one pytest per file.
+
+    Returning a non-None exit code preempts pytest's default session
+    (firstresult hook; initial conftests are consulted before builtins).
+    """
+    if os.environ.get("BPPP_SUITE_ISOLATE", "1") == "0":
+        return None
+    if os.environ.get("_BPPP_SUITE_CHILD") == "1":
+        return None
+    args = list(config.invocation_params.args)
+    targets = [a for a in args if not a.startswith("-")]
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Only directory targets (or no target from the repo root) get the
+    # per-file treatment; explicit files/node-ids keep default behavior.
+    if targets and not all(os.path.isdir(t) for t in targets):
+        return None
+    dirs = [os.path.abspath(t) for t in targets] or [here]
+    files = sorted(
+        os.path.join(d, f)
+        for d in dirs
+        for f in os.listdir(d)
+        if f.startswith("test_") and f.endswith(".py")
+    )
+    if not files:
+        return None
+    flags = [a for a in args if a.startswith("-")]
+    stop_on_fail = "-x" in flags or "--exitfirst" in flags
+    env = dict(os.environ, _BPPP_SUITE_CHILD="1")
+    worst = 0
+    for f in files:
+        rel = os.path.relpath(f)
+        print(f"[suite] {rel}", flush=True)
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", *flags, f], env=env
+        )
+        if rc == 5:  # no tests collected in this file (e.g. all skipped)
+            rc = 0
+        if rc != 0:
+            worst = worst or rc
+            if stop_on_fail:
+                break
+    return worst
