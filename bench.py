@@ -33,8 +33,10 @@ def _env_tag() -> str:
     sub = os.environ.get("BPPP_SUB", "4")
     glv = os.environ.get("BPPP_GLV", "1")
     fbw = os.environ.get("BPPP_FBW", "8")
+    cs = os.environ.get("BPPP_COLSUM", "seq")
     tag = f"_s{sub}" + ("" if glv != "0" else "_noglv")
-    return tag + ("" if fbw == "8" else f"_w{fbw}")
+    tag += "" if fbw == "8" else f"_w{fbw}"
+    return tag + ("" if cs == "seq" else f"_c{cs}")
 
 
 def bench_prove(B: int, reps: int, backend: str) -> None:

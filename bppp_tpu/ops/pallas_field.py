@@ -16,11 +16,22 @@ reductions, same bounds); cross-checked against the oracle in tests.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.field import N as N_INT
 from ..oracle.field import P as P_INT
+
+# Column-sum strategy for the 16x16 partial-product reduction inside
+# mul_wide (hardware A/B, see BENCHMARKS.md):
+#   seq  (default) — 15 sequential shear-aligned adds
+#   tree           — same adds in a log-depth tree (shorter dep chain)
+#   mx             — ONE f32 matmul on the MXU against an in-kernel
+#                    indicator matrix (exact: <=32 terms < 2^21 < 2^24)
+_COLSUM = os.environ.get("BPPP_COLSUM", "seq")
 
 LIMB_MASK = 0xFFFF
 _P17 = np.asarray(
@@ -83,15 +94,42 @@ def _cond_sub(v, m17: np.ndarray):
     return jnp.where(take, full[:L], v)
 
 
+def _colsum_mx(lo, hi):
+    """lo/hi (16,16,S,128) u32 < 2^16 -> (32,S,128) lazy columns via ONE
+    f32 matmul: out[k] = sum_{r+c==k} lo[r,c] + sum_{r+c==k-1} hi[r,c].
+    The (32, 512) indicator matrix is built in-kernel from iotas (captured
+    array constants are rejected inside pallas kernels); every partial sum
+    is <= 32 terms < 2^21 — exact in f32."""
+    S = lo.shape[2]
+    tail = S * 128
+    flat = (
+        jnp.concatenate([lo.reshape(256, tail), hi.reshape(256, tail)], axis=0)
+        .astype(jnp.int32)  # Mosaic has no u32->f32 cast; values < 2^16
+        .astype(jnp.float32)
+    )  # (512, S*128): lo rows, then hi rows
+    rc = jax.lax.broadcasted_iota(jnp.int32, (32, 512), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (32, 512), 0)
+    pos = rc % 256
+    tgt = pos // 16 + pos % 16 + (rc >= 256).astype(jnp.int32)
+    M = (tgt == k).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        M, flat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return out.astype(jnp.int32).astype(jnp.uint32).reshape(32, S, 128)
+
+
 def mul_wide(a, b):
     """(16,S,128) x (16,S,128) canonical -> (32,S,128) LAZY (< 2^21).
 
     Shear trick: lo/hi halves of the exact 16x16 partial products are
     column-aligned with ONE leading-dim pad+reshape, then summed with 15
-    static adds (Mosaic has no u32 reductions)."""
+    static adds (Mosaic has no u32 reductions). BPPP_COLSUM selects the
+    reduction strategy (see module header)."""
     pp = a[:, None] * b[None, :]  # (16, 16, S, 128)
     lo = pp & LIMB_MASK
     hi = pp >> 16
+    if _COLSUM == "mx":
+        return _colsum_mx(lo, hi)
 
     def colsum(x):  # (16, 16, S, 128) -> (31, S, 128)
         R, C = 16, 16
@@ -99,6 +137,14 @@ def mul_wide(a, b):
         padded = jnp.pad(x, [(0, 0), (0, R)] + [(0, 0)] * (x.ndim - 2))
         flat = padded.reshape((R * W,) + x.shape[2:])
         sheared = flat[: R * W - R].reshape((R, W - 1) + x.shape[2:])
+        if _COLSUM == "tree":
+            parts = [sheared[i] for i in range(R)]
+            while len(parts) > 1:
+                parts = [
+                    parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            return parts[0]
         acc = sheared[0]
         for i in range(1, R):
             acc = acc + sheared[i]
