@@ -30,7 +30,7 @@ def _env_tag() -> str:
     """Env knobs that change the traced program without changing the
     source hash the AOT cache keys on — fold them into the program name
     so A/B runs never reuse a stale cached program."""
-    sub = os.environ.get("BPPP_SUB", "4")
+    sub = os.environ.get("BPPP_SUB", "8")
     glv = os.environ.get("BPPP_GLV", "1")
     fbw = os.environ.get("BPPP_FBW", "8")
     cs = os.environ.get("BPPP_COLSUM", "seq")
@@ -121,7 +121,10 @@ def main() -> None:
     import jax
 
     backend = os.environ.get("BPPP_AOT_TARGET") or jax.default_backend()
-    B = int(os.environ.get("BPPP_BENCH_BATCH", 512 if backend != "cpu" else 16))
+    # default batch: one full lane tile (TILE = BPPP_SUB * 128 lanes,
+    # default 1024) on accelerators; tiny on CPU
+    tile = int(os.environ.get("BPPP_SUB", "8")) * 128
+    B = int(os.environ.get("BPPP_BENCH_BATCH", tile if backend != "cpu" else 16))
     reps = int(os.environ.get("BPPP_BENCH_REPS", 3))
     if os.environ.get("BPPP_BENCH_MODE", "verify") == "prove":
         bench_prove(B, reps, backend)

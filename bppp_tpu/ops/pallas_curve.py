@@ -21,11 +21,13 @@ from . import pallas_field as pf
 
 # Lane-tile geometry. Stacked element ops run on (16, _SUB, 128) arrays;
 # Mosaic tiles the trailing (S, 128) dims into (8, 128) int vregs, so
-# _SUB=4 half-fills every vreg's sublanes. Env-tunable for hardware A/B
-# (tools/sublane_probe.py); kernels require B % TILE == 0, so _SUB=8
-# needs batch >= 1024. NOTE: the jax.export AOT cache keys on SOURCE, not
-# env — benches must fold BPPP_SUB into their cache names.
-_SUB = int(os.environ.get("BPPP_SUB", "4"))
+# _SUB=4 half-fills every vreg's sublanes. Measured (tools/kernel_ab.py
+# sub, device time via jax.profiler, 2026-08-18 v5e): _SUB=8 is 2.0x
+# faster than 4 (6.45 vs 12.91 ns/lane per incomplete mixed add) and
+# beats 16 (7.75) — so 8 is the default. Kernels require B % TILE == 0:
+# _SUB=8 needs batch a multiple of 1024. NOTE: the jax.export AOT cache
+# keys on SOURCE, not env — benches must fold BPPP_SUB into their names.
+_SUB = int(os.environ.get("BPPP_SUB", "8"))
 TILE = _SUB * 128
 
 # CPU-validation escape hatch: run every pallas_call in interpret mode so

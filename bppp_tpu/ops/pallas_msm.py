@@ -364,14 +364,19 @@ def _msm_small_glv_kernel(
             pz[i].reshape(16, _SUB, 128),
         )
 
-    # magnitude digits, MSB-first planes per scalar half: dig[j*W + w]
+    # magnitude digits, MSB-first planes per scalar half: dig[j*WS + w].
+    # WS pads the per-half stride to a multiple of 8: Mosaic requires
+    # dynamic multi-row vector_store offsets in the sublane dim to be
+    # provably 8-aligned (j*33 is not; interpret mode never checks this).
+    WS = (W + 7) // 8 * 8
     def dig_body(j, _):
         kk = k_ref[j]  # (16, TILE), only limbs 0..ceil(4W/16) nonzero
         planes = jnp.stack(
-            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(W - 1, -1, -1)],
+            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(W - 1, -1, -1)]
+            + [jnp.zeros_like(kk[0])] * (WS - W),
             axis=0,
         )
-        dig[pl.ds(j * W, W)] = planes
+        dig[pl.ds(j * WS, WS)] = planes
         return 0
 
     jax.lax.fori_loop(0, D2, dig_body, 0)
@@ -422,7 +427,7 @@ def _msm_small_glv_kernel(
             sx, sy, sz = st
             i = j // 2
             is_phi = (j % 2) == 1
-            d = dig[j * W + w].reshape(_SUB, 128)
+            d = dig[j * WS + w].reshape(_SUB, 128)
             ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
@@ -471,6 +476,7 @@ def msm_small_glv_flat(px, py, pz, k, sg):
     spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     body = functools.partial(_msm_small_glv_kernel, W)
+    WS = (W + 7) // 8 * 8  # per-half digit stride (8-aligned, see kernel)
     return pl.pallas_call(
         body,
         grid=(B // TILE,),
@@ -481,7 +487,7 @@ def msm_small_glv_flat(px, py, pz, k, sg):
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D2 * W, TILE), jnp.uint32),
+            pltpu.VMEM((D2 * WS, TILE), jnp.uint32),
         ],
         interpret=INTERPRET(),
     )(px, py, pz, k, sg)

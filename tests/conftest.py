@@ -20,6 +20,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Interpret-mode kernel tests size their inputs from TILE = BPPP_SUB*128;
+# the hardware default (8, picked by device-time A/B) would double every
+# CPU test's lane count for no semantic coverage — kernel math is
+# _SUB-independent. Pin 4 unless the caller overrides.
+os.environ.setdefault("BPPP_SUB", "4")
+
 import jax  # noqa: E402
 
 # Belt and braces: if a pytest plugin imported jax before this conftest

@@ -12,12 +12,15 @@ redo one).
 
 Steps:
   probe    tunnel liveness (tiny dispatch, 120 s timeout)
-  sublane  tools/sublane_probe.py — vreg packing A/B (_SUB 4/8/16)
-  glv      small-MSM kernel A/B: GLV on vs off (kernel-level, fast compile)
-  verify   python bench.py (batch 512, defaults) — the headline number
+  sub      tools/kernel_ab.py sub — vreg packing A/B, DEVICE time
+  colsum   tools/kernel_ab.py colsum — partial-product reduction A/B
+  verify   python bench.py (defaults: batch 1024, _SUB 8, GLV on)
   prove    BPPP_BENCH_MODE=prove bench.py
-  sub8     BPPP_SUB=8 BPPP_BENCH_BATCH=1024 bench.py (only worth running
-           if the sublane step shows _SUB=8 winning)
+
+Wall-clock chained timings are NOT used anywhere here: on this tunnel
+they are wrong in both directions (see tools/kernel_ab.py header).
+Measured 2026-08-18 (v5e): _SUB=8 wins 2.0x over 4; colsum seq beats
+tree and mx; GLV on beats off 2.49 vs 2.97 ms device per L=2 msm.
 """
 
 import json
@@ -34,39 +37,6 @@ import jax, jax.numpy as jnp
 print(jax.default_backend())
 print(float(jnp.ones(128).sum()))
 """
-
-GLV_AB_CODE = """
-import os, sys, time
-sys.path.insert(0, %r)
-import numpy as np, jax
-from bppp_tpu.ops import curve as dc, field as fld
-from bppp_tpu.oracle import curve as oc
-from bppp_tpu.utils.rng import SeededRng
-
-rng = SeededRng("glv ab")
-B, L = 512, 2
-pts = dc.from_int_points([oc.GENERATOR.mul(rng.scalar()) for _ in range(L)], batch=(B,))
-ks = np.asarray(fld.ints_to_limbs(rng.scalars(L)))[:, :, None]
-ks = np.broadcast_to(ks, (16, L, B)).copy()
-
-import jax.numpy as jnp
-ksj = jnp.asarray(ks)
-for glv in ("1", "0"):
-    os.environ["BPPP_GLV"] = glv
-    f = jax.jit(dc.msm)
-    out = f(pts, ksj)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    o = out
-    for _ in range(5):  # chain: a zero derived from the output feeds the input
-        dep = (o.z.max() * 0).astype(jnp.uint32)
-        o = f(pts, ksj + dep)
-    jax.block_until_ready(o)
-    dt = (time.perf_counter() - t0) / 5
-    print("GLV=%%s  %%0.2f ms per msm(L=%%d, B=%%d) call" %% (glv, dt * 1e3, L, B))
-    jax.clear_caches()
-""" % (ROOT,)
-
 
 def record(step, rc, tail, secs):
     row = {"step": step, "rc": rc, "secs": round(secs, 1), "tail": tail[-2000:],
@@ -107,14 +77,11 @@ def run(step, argv, env=None, timeout=3600, code=None):
 
 STEPS = [
     ("probe",   lambda: run("probe", None, timeout=120, code=PROBE_CODE)),
-    ("sublane", lambda: run("sublane", ["tools/sublane_probe.py"], timeout=1800)),
-    ("glv",     lambda: run("glv", None, timeout=1800, code=GLV_AB_CODE)),
+    ("sub",     lambda: run("sub", ["tools/kernel_ab.py", "sub"], timeout=1800)),
+    ("colsum",  lambda: run("colsum", ["tools/kernel_ab.py", "colsum"], timeout=1800)),
     ("verify",  lambda: run("verify", ["bench.py"], timeout=4800)),
     ("prove",   lambda: run("prove", ["bench.py"],
                             env={"BPPP_BENCH_MODE": "prove"}, timeout=4800)),
-    ("sub8",    lambda: run("sub8", ["bench.py"],
-                            env={"BPPP_SUB": "8", "BPPP_BENCH_BATCH": "1024"},
-                            timeout=4800)),
 ]
 
 
