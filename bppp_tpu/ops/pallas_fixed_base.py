@@ -133,10 +133,12 @@ def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
         oh = (
             jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
         ).astype(jnp.float32)
+        # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast lowering
+        # (values are 16-bit limbs, exact and non-negative in f32)
         q = jax.lax.dot_general(
             tab_ref[0, w], oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.uint32)  # (32, TILE): x limbs stacked above y limbs
+        ).astype(jnp.int32).astype(jnp.uint32)  # (32, TILE): x above y limbs
         qx = q[:16].reshape(16, _SUB, 128)
         qy = q[16:].reshape(16, _SUB, 128)
         return pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
