@@ -212,7 +212,22 @@ def scalar_mul_flat(px, py, pz, k):
 
 # -- small shared-window MSM (dynamic points) ---------------------------------
 
-def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
+def _dig_at(kk, wi):
+    """kk: (16, TILE) scalar limbs; wi: dynamic 4-bit digit index (LSB
+    order) -> (_SUB, 128) window digits. A dynamic single-row read from
+    VMEM would need a provably 8-aligned sublane offset (Mosaic rule),
+    so select the limb row with a masked sum instead — trivial VPU work
+    next to the point add it feeds."""
+    row = wi // 4
+    sh = (4 * (wi % 4)).astype(jnp.uint32)
+    rows = (kk >> sh) & jnp.uint32(15)
+    sel = jax.lax.broadcasted_iota(jnp.int32, kk.shape, 0) == row
+    return jnp.sum(jnp.where(sel, rows, jnp.uint32(0)), axis=0).reshape(
+        _SUB, 128
+    )
+
+
+def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
     """sum_i [k_i] P_i over a SMALL static D of per-proof points, one
     kernel: in-VMEM 4-bit tables per point, one shared MSB-first window
     walk (4 doubles + D table adds per window). Replaces D*B-lane
@@ -231,18 +246,6 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
             py[i].reshape(16, _SUB, 128),
             pz[i].reshape(16, _SUB, 128),
         )
-
-    # digits, MSB-first planes per point: dig[i*64 + w]
-    def dig_body(i, _):
-        kk = k_ref[i]  # (16, TILE)
-        planes = jnp.stack(
-            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(63, -1, -1)],
-            axis=0,
-        )
-        dig[pl.ds(i * 64, 64)] = planes
-        return 0
-
-    jax.lax.fori_loop(0, D, dig_body, 0)
 
     # tables: tab[i*16 + d] = [d] P_i. Entry 2 is a genuine doubling
     # (P + P) and gets pt_dbl explicitly; entries 3..15 use the
@@ -291,7 +294,7 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz, dig):
 
         def add_i(i, st):
             sx, sy, sz = st
-            d = dig[i * 64 + w].reshape(_SUB, 128)
+            d = _dig_at(k_ref[i], 63 - w)  # MSB-first walk
             ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
@@ -329,7 +332,6 @@ def msm_small_flat(px, py, pz, k):
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D * 64, TILE), jnp.uint32),
         ],
         interpret=INTERPRET(),
     )(px, py, pz, k)
@@ -338,7 +340,7 @@ def msm_small_flat(px, py, pz, k):
 # -- GLV shared-window MSM (dynamic points, halved window walk) ---------------
 
 def _msm_small_glv_kernel(
-    W, px, py, pz, k_ref, sg_ref, ox, oy, oz, tabx, taby, tabz, dig
+    W, px, py, pz, k_ref, sg_ref, ox, oy, oz, tabx, taby, tabz
 ):
     """GLV variant of _msm_small_kernel: D points but 2D scalar HALVES
     of <= 4W bits each (W = glv.GLV_WINDOWS = 33), so the shared walk
@@ -363,23 +365,6 @@ def _msm_small_glv_kernel(
             py[i].reshape(16, _SUB, 128),
             pz[i].reshape(16, _SUB, 128),
         )
-
-    # magnitude digits, MSB-first planes per scalar half: dig[j*WS + w].
-    # WS pads the per-half stride to a multiple of 8: Mosaic requires
-    # dynamic multi-row vector_store offsets in the sublane dim to be
-    # provably 8-aligned (j*33 is not; interpret mode never checks this).
-    WS = (W + 7) // 8 * 8
-    def dig_body(j, _):
-        kk = k_ref[j]  # (16, TILE), only limbs 0..ceil(4W/16) nonzero
-        planes = jnp.stack(
-            [(kk[w // 4] >> (4 * (w % 4))) & 15 for w in range(W - 1, -1, -1)]
-            + [jnp.zeros_like(kk[0])] * (WS - W),
-            axis=0,
-        )
-        dig[pl.ds(j * WS, WS)] = planes
-        return 0
-
-    jax.lax.fori_loop(0, D2, dig_body, 0)
 
     # tables: tab[i*16 + d] = [d] P_i (same build as _msm_small_kernel)
     def tab_i(i, _):
@@ -427,7 +412,7 @@ def _msm_small_glv_kernel(
             sx, sy, sz = st
             i = j // 2
             is_phi = (j % 2) == 1
-            d = dig[j * WS + w].reshape(_SUB, 128)
+            d = _dig_at(k_ref[j], W - 1 - w)  # MSB-first walk
             ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
             ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
@@ -476,7 +461,6 @@ def msm_small_glv_flat(px, py, pz, k, sg):
     spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     body = functools.partial(_msm_small_glv_kernel, W)
-    WS = (W + 7) // 8 * 8  # per-half digit stride (8-aligned, see kernel)
     return pl.pallas_call(
         body,
         grid=(B // TILE,),
@@ -487,7 +471,6 @@ def msm_small_glv_flat(px, py, pz, k, sg):
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
             pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D2 * WS, TILE), jnp.uint32),
         ],
         interpret=INTERPRET(),
     )(px, py, pz, k, sg)
