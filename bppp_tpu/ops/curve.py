@@ -426,8 +426,8 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
     prod = 1
     for d in batch:
         prod *= d
-    if prod < pm.TILE or prod % pm.TILE != 0:
-        return None
+    if prod < pm.MS_TILE or prod % pm.MS_TILE != 0:
+        return None  # small-MSM kernels tile on the half lane tile
     kk = jnp.broadcast_to(scalars, points.x.shape)
 
     def re(c):

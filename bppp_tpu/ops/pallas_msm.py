@@ -29,6 +29,16 @@ from . import pallas_curve as pc
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB, _ld, _spec, _st
 
+# The shared-window small-MSM kernels run on a HALF lane tile: their
+# three in-VMEM point tables are the scoped-vmem budget (D=5 at
+# TILE=1024: 15.7 MB of the 16 MB limit, leaving nothing for in/out
+# blocks and loop temporaries — hardware compiles failed at _SUB=8).
+# Halving the tile halves every buffer (tables 7.9 MB) at the cost of
+# _SUB=4 vreg packing for just these kernels; everything else keeps the
+# full tile.
+_MS_SUB = max(_SUB // 2, 2)
+MS_TILE = _MS_SUB * 128
+
 
 def _ent_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -213,17 +223,21 @@ def scalar_mul_flat(px, py, pz, k):
 # -- small shared-window MSM (dynamic points) ---------------------------------
 
 def _dig_at(kk, wi):
-    """kk: (16, TILE) scalar limbs; wi: dynamic 4-bit digit index (LSB
-    order) -> (_SUB, 128) window digits. A dynamic single-row read from
-    VMEM would need a provably 8-aligned sublane offset (Mosaic rule),
-    so select the limb row with a masked sum instead — trivial VPU work
-    next to the point add it feeds."""
+    """kk: (16, MS_TILE) scalar limbs; wi: dynamic 4-bit digit index (LSB
+    order) -> (_MS_SUB, 128) window digits. A dynamic single-row read
+    from VMEM would need a provably 8-aligned sublane offset (Mosaic
+    rule), so select the limb row with a masked sum instead — trivial
+    VPU work next to the point add it feeds."""
     row = wi // 4
     sh = (4 * (wi % 4)).astype(jnp.uint32)
-    rows = (kk >> sh) & jnp.uint32(15)
+    # sum in int32: Mosaic has no unsigned-integer reductions (digits
+    # are 0..15, exact in either signedness)
+    rows = ((kk >> sh) & jnp.uint32(15)).astype(jnp.int32)
     sel = jax.lax.broadcasted_iota(jnp.int32, kk.shape, 0) == row
-    return jnp.sum(jnp.where(sel, rows, jnp.uint32(0)), axis=0).reshape(
-        _SUB, 128
+    return (
+        jnp.sum(jnp.where(sel, rows, 0), axis=0)
+        .astype(jnp.uint32)
+        .reshape(_MS_SUB, 128)
     )
 
 
@@ -235,16 +249,16 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
     are fori with dynamic scratch indexing so the binary holds ONE
     table-build add, ONE walk add, and ONE double site."""
     D = px.shape[0]
-    zero3 = jnp.zeros((16, _SUB, 128), jnp.uint32)
+    zero3 = jnp.zeros((16, _MS_SUB, 128), jnp.uint32)
     one3 = jnp.pad(
-        jnp.ones((1, _SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+        jnp.ones((1, _MS_SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
 
     def ld_pt(i):
         return (
-            px[i].reshape(16, _SUB, 128),
-            py[i].reshape(16, _SUB, 128),
-            pz[i].reshape(16, _SUB, 128),
+            px[i].reshape(16, _MS_SUB, 128),
+            py[i].reshape(16, _MS_SUB, 128),
+            pz[i].reshape(16, _MS_SUB, 128),
         )
 
     # tables: tab[i*16 + d] = [d] P_i. Entry 2 is a genuine doubling
@@ -258,24 +272,24 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
         dx = pf.select(p_id, X, dx)
         dy = pf.select(p_id, Y, dy)
         dz = pf.select(p_id, Z, dz)
-        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
-        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, TILE)
-        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, MS_TILE)
 
         def ent_body(d, _):
-            cx = tabx[i * 16 + d - 1].reshape(16, _SUB, 128)
-            cy = taby[i * 16 + d - 1].reshape(16, _SUB, 128)
-            cz = tabz[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cx = tabx[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
             nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
-            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, TILE)
-            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, TILE)
-            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, TILE)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, MS_TILE)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, MS_TILE)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, MS_TILE)
             return 0
 
         jax.lax.fori_loop(3, 16, ent_body, 0)
@@ -295,9 +309,9 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
         def add_i(i, st):
             sx, sy, sz = st
             d = _dig_at(k_ref[i], 63 - w)  # MSB-first walk
-            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
-            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
-            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
             qx = _tab_select(ents_x, d)
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
@@ -308,9 +322,9 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
         return jax.lax.fori_loop(0, D, add_i, (sx, sy, sz))
 
     sx, sy, sz = jax.lax.fori_loop(0, 64, walk, (zero3, one3, zero3))
-    _st(ox, sx)
-    _st(oy, sy)
-    _st(oz, sz)
+    ox[:] = sx.reshape(16, MS_TILE)
+    oy[:] = sy.reshape(16, MS_TILE)
+    oz[:] = sz.reshape(16, MS_TILE)
 
 
 @jax.jit
@@ -318,20 +332,22 @@ def msm_small_flat(px, py, pz, k):
     """(D, 16, B) coords/scalars -> 3x (16, B): reduced small MSM."""
     D, _, B = px.shape
     spec_in = pl.BlockSpec(
-        (D, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        (D, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
     )
-    spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec(
+        (16, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     return pl.pallas_call(
         _msm_small_kernel,
-        grid=(B // TILE,),
+        grid=(B // MS_TILE,),
         in_specs=[spec_in] * 4,
         out_specs=[spec_out] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
         ],
         interpret=INTERPRET(),
     )(px, py, pz, k)
@@ -353,17 +369,17 @@ def _msm_small_glv_kernel(
     break (identity lanes are masked as before)."""
     D = px.shape[0]
     D2 = 2 * D
-    zero3 = jnp.zeros((16, _SUB, 128), jnp.uint32)
+    zero3 = jnp.zeros((16, _MS_SUB, 128), jnp.uint32)
     one3 = jnp.pad(
-        jnp.ones((1, _SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+        jnp.ones((1, _MS_SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
-    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (_SUB, 128))
+    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (_MS_SUB, 128))
 
     def ld_pt(i):
         return (
-            px[i].reshape(16, _SUB, 128),
-            py[i].reshape(16, _SUB, 128),
-            pz[i].reshape(16, _SUB, 128),
+            px[i].reshape(16, _MS_SUB, 128),
+            py[i].reshape(16, _MS_SUB, 128),
+            pz[i].reshape(16, _MS_SUB, 128),
         )
 
     # tables: tab[i*16 + d] = [d] P_i (same build as _msm_small_kernel)
@@ -374,24 +390,24 @@ def _msm_small_glv_kernel(
         dx = pf.select(p_id, X, dx)
         dy = pf.select(p_id, Y, dy)
         dz = pf.select(p_id, Z, dz)
-        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, TILE)
-        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, TILE)
-        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, TILE)
-        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, TILE)
-        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, TILE)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, MS_TILE)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, MS_TILE)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, MS_TILE)
 
         def ent_body(d, _):
-            cx = tabx[i * 16 + d - 1].reshape(16, _SUB, 128)
-            cy = taby[i * 16 + d - 1].reshape(16, _SUB, 128)
-            cz = tabz[i * 16 + d - 1].reshape(16, _SUB, 128)
+            cx = tabx[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
             nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
-            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, TILE)
-            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, TILE)
-            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, TILE)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, MS_TILE)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, MS_TILE)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, MS_TILE)
             return 0
 
         jax.lax.fori_loop(3, 16, ent_body, 0)
@@ -413,23 +429,23 @@ def _msm_small_glv_kernel(
             i = j // 2
             is_phi = (j % 2) == 1
             d = _dig_at(k_ref[j], W - 1 - w)  # MSB-first walk
-            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
-            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
-            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _SUB, 128)
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
             qx = _tab_select(ents_x, d)
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
             qx = jnp.where(is_phi, pf.mul_p(qx, beta3), qx)
-            neg = sg_ref[j].reshape(_SUB, 128) != 0
+            neg = sg_ref[j].reshape(_MS_SUB, 128) != 0
             qy = pf.select(neg, pf.sub_p(jnp.zeros_like(qy), qy), qy)
             return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
 
         return jax.lax.fori_loop(0, D2, add_j, (sx, sy, sz))
 
     sx, sy, sz = jax.lax.fori_loop(0, W, walk, (zero3, one3, zero3))
-    _st(ox, sx)
-    _st(oy, sy)
-    _st(oz, sz)
+    ox[:] = sx.reshape(16, MS_TILE)
+    oy[:] = sy.reshape(16, MS_TILE)
+    oz[:] = sz.reshape(16, MS_TILE)
 
 
 _GLV_BETA16 = None  # set below (avoids importing glv before jax config)
@@ -452,25 +468,29 @@ def msm_small_glv_flat(px, py, pz, k, sg):
     D, _, B = px.shape
     D2 = 2 * D
     spec_pt = pl.BlockSpec(
-        (D, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        (D, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
     )
     spec_k = pl.BlockSpec(
-        (D2, 16, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        (D2, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
     )
-    spec_sg = pl.BlockSpec((D2, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((16, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
+    spec_sg = pl.BlockSpec(
+        (D2, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
+    spec_out = pl.BlockSpec(
+        (16, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
     out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
     body = functools.partial(_msm_small_glv_kernel, W)
     return pl.pallas_call(
         body,
-        grid=(B // TILE,),
+        grid=(B // MS_TILE,),
         in_specs=[spec_pt] * 3 + [spec_k, spec_sg],
         out_specs=[spec_out] * 3,
         out_shape=[out] * 3,
         scratch_shapes=[
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
+            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
         ],
         interpret=INTERPRET(),
     )(px, py, pz, k, sg)
