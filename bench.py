@@ -34,8 +34,10 @@ def _env_tag() -> str:
     glv = os.environ.get("BPPP_GLV", "1")
     fbw = os.environ.get("BPPP_FBW", "8")
     cs = os.environ.get("BPPP_COLSUM", "seq")
+    fbsel = os.environ.get("BPPP_FBSEL", "mx")
     tag = f"_s{sub}" + ("" if glv != "0" else "_noglv")
     tag += "" if fbw == "8" else f"_w{fbw}"
+    tag += "" if fbsel == "mx" else f"_f{fbsel}"
     return tag + ("" if cs == "seq" else f"_c{cs}")
 
 

@@ -51,6 +51,14 @@ N_WINDOWS = 256 // W_BITS
 N_ENT = 1 << W_BITS
 _PER_LIMB = 16 // W_BITS
 
+# Entry-selection strategy (hardware A/B, cf. the colsum=mx dead end —
+# MXU round trips inside VPU kernel loops cost relayouts + converts):
+#   mx  (default) — one-hot f32 matmul on the MXU per window
+#   vpu           — masked accumulate over the N_ENT entry columns on the
+#                   VPU (u32 tables; no f32 casts, no MXU relayout); cost
+#                   scales with N_ENT so it pairs with BPPP_FBW=4
+_FBSEL = os.environ.get("BPPP_FBSEL", "mx")
+
 
 def build_tables(points):
     """points: PointJ coords (16, F) — unbatched fixed generators.
@@ -130,15 +138,27 @@ def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
     def w_body(w, carry):
         X, Y, Z = carry
         d = dig_ref[w, 0, 0]  # (1, TILE) digits of window w
-        oh = (
-            jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
-        ).astype(jnp.float32)
-        # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast lowering
-        # (values are 16-bit limbs, exact and non-negative in f32)
-        q = jax.lax.dot_general(
-            tab_ref[0, w], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).astype(jnp.uint32)  # (32, TILE): x above y limbs
+        if _FBSEL == "vpu":
+            # masked accumulate over entry columns: tables are per-
+            # generator constants shared by every lane, so each entry is
+            # a (32, 1) column lane-broadcast under a per-lane digit
+            # mask. Entry 0 is the all-zero identity sentinel — skip it.
+            tabw = tab_ref[0, w]  # (32, N_ENT) u32
+            q = jnp.zeros((32, TILE), jnp.uint32)
+            for e in range(1, N_ENT):
+                m = d == jnp.uint32(e)
+                q = q + jnp.where(m, tabw[:, e, None], 0)
+        else:
+            oh = (
+                jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
+            ).astype(jnp.float32)
+            # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast
+            # lowering (values are 16-bit limbs, exact and non-negative
+            # in f32)
+            q = jax.lax.dot_general(
+                tab_ref[0, w], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32).astype(jnp.uint32)  # (32, TILE): x over y
         qx = q[:16].reshape(16, _SUB, 128)
         qy = q[16:].reshape(16, _SUB, 128)
         return pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
@@ -214,6 +234,10 @@ def msm_fixed_sum(tables, scalars):
     # one matmul per window; XLA hoists/CSEs the concat across calls
     # within a program (loop-invariant: tables are constants per call).
     tab = jnp.concatenate([tx, ty], axis=2)
+    if _FBSEL == "vpu":
+        # u32 tables for the VPU masked select (limbs < 2^16, exact in
+        # the stored f32; the cast runs once at graph level, not Mosaic)
+        tab = tab.astype(jnp.int32).astype(jnp.uint32)
     dig = _digits(scalars).reshape(N_WINDOWS, F, nb, 1, TILE)
     sx, sy, sz = fixed_msm_sum_flat(tab, dig)
     return PointJ(sx, sy, sz)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Device-time A/B of the fixed-base MSM kernel at the verify shape.
+
+The fixed-base kernels are the fast verifier's dominant cost (~51 ms of
+92 ms at batch 512 in round 1). This compiles fixed_msm_sum_flat
+standalone — random table/scalar bits; point validity doesn't affect
+timing since the add body is branchless — and reports profiler DEVICE
+time (wall clock through the tunnel is untrustworthy, see BENCHMARKS.md).
+
+Knobs are read at import by the kernel module, so run one config per
+process:
+
+    BPPP_FBW=8 BPPP_FBSEL=mx  python tools/fb_ab.py   # round-1 default
+    BPPP_FBW=4 BPPP_FBSEL=vpu python tools/fb_ab.py
+    FB_F=49 FB_B=1024 ...                             # shape override
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bppp_tpu.ops import pallas_fixed_base as pfb
+
+F = int(os.environ.get("FB_F", "49"))
+B = int(os.environ.get("FB_B", "1024"))
+
+
+def device_ms(fn, *args):
+    o = fn(*args)
+    jax.block_until_ready(o)
+    tdir = "/tmp/jax_fb_trace"
+    os.system(f"rm -rf {tdir}")
+    with jax.profiler.trace(tdir):
+        o = fn(*args)
+        jax.block_until_ready(o)
+        np.asarray(o[0])
+    best = 0.0
+    for path in glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True):
+        pd = jax.profiler.ProfileData.from_file(path)
+        for plane in pd.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    best = max(best, ev.duration_ns)
+    return best / 1e6
+
+
+def main():
+    rng = np.random.default_rng(0)
+    tx = jnp.asarray(
+        rng.integers(0, 1 << 16, (F, pfb.N_WINDOWS, 16, pfb.N_ENT)),
+        jnp.float32,
+    )
+    ty = jnp.asarray(
+        rng.integers(0, 1 << 16, (F, pfb.N_WINDOWS, 16, pfb.N_ENT)),
+        jnp.float32,
+    )
+    scalars = jnp.asarray(rng.integers(0, 1 << 16, (16, F, B)), jnp.uint32)
+    fn = jax.jit(lambda s: pfb.msm_fixed_sum((tx, ty), s))
+    ms = device_ms(fn, scalars)
+    adds = F * pfb.N_WINDOWS
+    print(
+        f"FBW={pfb.W_BITS} FBSEL={pfb._FBSEL} F={F} B={B}: "
+        f"{ms:8.2f} ms device = {ms*1e6/adds/B:6.2f} ns/lane/add "
+        f"({adds} adds/lane)"
+    )
+
+
+if __name__ == "__main__":
+    main()
