@@ -244,6 +244,35 @@ def test_fixed_base_msm_vs_oracle(rng):
         assert got[p].eq(want), f"lane {p}"
 
 
+def test_fixed_base_msm_vpu_select_matches_mx(rng):
+    """BPPP_FBSEL=vpu (masked-add entry selection) computes the same MSM
+    as the default mx (one-hot MXU matmul) path."""
+    import jax
+
+    from bppp_tpu.ops import curve as dc
+    from bppp_tpu.ops import pallas_fixed_base as fb
+
+    F, B = 2, TILE
+    pts = dc.from_int_points(_rand_points(rng, F))
+    tables = jax.jit(fb.build_tables)(pts)
+    ks = [_rand_wide(rng, of.N, B) for _ in range(F)]
+    scal = jnp.stack(
+        [jnp.asarray(f.ints_to_limbs(krow)) for krow in ks], axis=1
+    )
+    old = fb._FBSEL
+    try:
+        fb._FBSEL = "mx"
+        a = jax.tree_util.tree_map(np.asarray, fb.msm_fixed_sum(tables, scal))
+        fb._FBSEL = "vpu"
+        jax.clear_caches()
+        b = fb.msm_fixed_sum(tables, scal)
+    finally:
+        fb._FBSEL = old
+        jax.clear_caches()
+    for ca, cb in zip(a, b):
+        assert np.array_equal(ca, np.asarray(cb))
+
+
 def test_keccak_kernel_vs_oracle(rng):
     states = rng.integers(0, 256, size=(200, TILE), dtype=np.uint32)
     out = np.asarray(pk.f1600_flat(jnp.asarray(states)))
