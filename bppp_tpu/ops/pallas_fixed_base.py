@@ -62,11 +62,26 @@ _FBSEL = os.environ.get("BPPP_FBSEL", "mx")
 
 def build_tables(points):
     """points: PointJ coords (16, F) — unbatched fixed generators.
-    -> (tx, ty): float32 (F, N_WINDOWS, 16, N_ENT) window tables (point,
-    window, limb, entry), entry 0 = (0, 0) (identity sentinel; the kernel's
-    mixed add treats all-zero affine coords as the identity). The limb
-    axis leads the entry axis so the kernel's selection is a plain
-    one-hot matmul."""
+    -> ONE kernel-ready table array, layout depending on _FBSEL:
+
+      mx  (default): (N_WINDOWS, F, 64, N_ENT) float32, rows stacked as
+          [x_lo(16) | y_lo(16) | x_hi(16) | y_hi(16)] BYTE halves of the
+          16-bit limbs. The byte split is what makes the kernel's one-hot
+          MXU selection EXACT at default matmul precision: the TPU MXU
+          multiplies bf16 mantissas (8 bits), which hold integers < 2^8
+          exactly but NOT 16-bit limbs — full-limb f32 tables compiled
+          fine and returned wrong sums on v5e (round-3 hardware check;
+          interpret mode is exact f32 and can never catch it).
+      vpu: (N_WINDOWS, F, 32, N_ENT) uint32, rows [x(16) | y(16)] — the
+          VPU masked accumulate is exact on full limbs.
+
+    Entry 0 is (0, 0) (identity sentinel; the kernel's mixed add treats
+    all-zero affine coords as the identity). The window axis LEADS so the
+    kernel's per-window table read is a dynamic index on the leading dim
+    (Mosaic rejects dynamic indices on non-leading dims — the old
+    (F, W, ...) layout's `tab_ref[0, w]` failed to lower). The layout is
+    emitted here, at setup, so per-verify calls carry no table
+    concat/cast/transpose glue."""
     from . import curve as dc
 
     F = points.x.shape[1]
@@ -98,11 +113,15 @@ def build_tables(points):
     zero = jnp.zeros((16, N_WINDOWS, 1, F), jnp.uint32)
     tx = jnp.concatenate([zero, ax], axis=2)  # entry 0 = identity sentinel
     ty = jnp.concatenate([zero, ay], axis=2)
-    # -> (F, N_WINDOWS, 16 limb, N_ENT ent) f32: one (f, w) block streams
-    # to VMEM per grid step as the selection matmul's LHS
-    tx = tx.transpose(3, 1, 0, 2).astype(jnp.float32)
-    ty = ty.transpose(3, 1, 0, 2).astype(jnp.float32)
-    return tx, ty
+    # -> one (w, f) block streams to VMEM per grid step; rows x entries
+    # are the selection operand (see docstring for layout per _FBSEL)
+    if _FBSEL == "vpu":
+        rows = jnp.concatenate([tx, ty], axis=0)  # (32, W, NE, F) u32
+        return rows.transpose(1, 3, 0, 2)  # (W, F, 32, NE)
+    rows = jnp.concatenate(
+        [tx & 0xFF, ty & 0xFF, tx >> 8, ty >> 8], axis=0
+    ).astype(jnp.float32)  # (64, W, NE, F): byte halves, exact in bf16
+    return rows.transpose(1, 3, 0, 2)  # (W, F, 64, NE)
 
 
 def _digits(scalars):
@@ -138,27 +157,33 @@ def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
     def w_body(w, carry):
         X, Y, Z = carry
         d = dig_ref[w, 0, 0]  # (1, TILE) digits of window w
+        tabw = tab_ref[w, 0]  # (ROWS, N_ENT); w on the LEADING dim —
+        # Mosaic rejects dynamic indices on non-leading ref dims
         if _FBSEL == "vpu":
             # masked accumulate over entry columns: tables are per-
             # generator constants shared by every lane, so each entry is
             # a (32, 1) column lane-broadcast under a per-lane digit
             # mask. Entry 0 is the all-zero identity sentinel — skip it.
-            tabw = tab_ref[0, w]  # (32, N_ENT) u32
             q = jnp.zeros((32, TILE), jnp.uint32)
             for e in range(1, N_ENT):
                 m = d == jnp.uint32(e)
-                q = q + jnp.where(m, tabw[:, e, None], 0)
+                # 2-D slice, NOT tabw[:, e, None]: integer indexing makes
+                # a 1-D intermediate Mosaic lowers to an unsupported
+                # gather (hardware check r3)
+                q = q + jnp.where(m, tabw[:, e : e + 1], 0)
         else:
             oh = (
                 jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
             ).astype(jnp.float32)
-            # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast
-            # lowering (values are 16-bit limbs, exact and non-negative
-            # in f32)
-            q = jax.lax.dot_general(
-                tab_ref[0, w], oh, (((1,), (0,)), ((), ())),
+            # rows are BYTE halves [x_lo|y_lo|x_hi|y_hi] so the MXU pass
+            # is exact at default precision (bf16 mantissas hold ints
+            # < 2^8; full 16-bit limbs round — see build_tables).
+            # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast.
+            sel = jax.lax.dot_general(
+                tabw, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.int32).astype(jnp.uint32)  # (32, TILE): x over y
+            ).astype(jnp.int32).astype(jnp.uint32)  # (64, TILE)
+            q = sel[:32] | (sel[32:] << 8)  # (32, TILE): x over y
         qx = q[:16].reshape(16, _SUB, 128)
         qy = q[16:].reshape(16, _SUB, 128)
         return pf.pt_add_mixed_inc(X, Y, Z, qx, qy)
@@ -180,15 +205,17 @@ def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
 
 @jax.jit
 def fixed_msm_sum_flat(tab, dig):
-    """tab: (F, N_WINDOWS, 32, N_ENT) f32 stacked x/y tables; dig:
-    (N_WINDOWS, F, nb, 1, TILE) window digits -> 3x (16, B) Jacobian
-    sum_i [k_i]G_i per lane."""
-    F = tab.shape[0]
+    """tab: kernel-ready tables from build_tables — (N_WINDOWS, F, 64,
+    N_ENT) f32 byte-split under _FBSEL=mx, (N_WINDOWS, F, 32, N_ENT) u32
+    under vpu; dig: (N_WINDOWS, F, nb, 1, TILE) window digits -> 3x
+    (16, B) Jacobian sum_i [k_i]G_i per lane."""
+    F = tab.shape[1]
+    rows = tab.shape[2]
     nb = dig.shape[2]
     B = nb * TILE
     tab_spec = pl.BlockSpec(
-        (1, N_WINDOWS, 32, N_ENT),
-        lambda b, f: (f, 0, 0, 0),
+        (N_WINDOWS, 1, rows, N_ENT),
+        lambda b, f: (0, f, 0, 0),
         memory_space=pltpu.VMEM,
     )
     dig_spec = pl.BlockSpec(
@@ -214,30 +241,23 @@ def fixed_msm_sum_flat(tab, dig):
     )(tab, dig)
 
 
-def msm_fixed_sum(tables, scalars):
-    """tables: (tx, ty) from build_tables, F fixed points; scalars:
-    (16, F, B) F_n limbs. -> PointJ coords (16, B): the complete MSM
-    sum_i [s_i] G_i per lane (the F-axis reduction happens inside the
-    kernel's carried accumulator).
-    Returns None if shapes don't tile (caller falls back)."""
+def msm_fixed_sum(tab, scalars):
+    """tab: kernel-ready table array from build_tables (layout/dtype per
+    _FBSEL — see its docstring), F fixed points; scalars: (16, F, B) F_n
+    limbs. -> PointJ coords (16, B): the complete MSM sum_i [s_i] G_i
+    per lane (the F-axis reduction happens inside the kernel's carried
+    accumulator). Returns None if shapes don't tile (caller falls back).
+    No per-call table prep: build_tables already emitted the kernel
+    operand."""
     from .curve import PointJ
 
-    tx, ty = tables
-    F = tx.shape[0]
+    F = tab.shape[1]
     if scalars.ndim != 3 or scalars.shape[1] != F:
         return None
     B = scalars.shape[-1]
     if B % TILE != 0:
         return None  # lane tiles need B to tile
     nb = B // TILE
-    # Stack x above y along the limb axis so the kernel's selection is
-    # one matmul per window; XLA hoists/CSEs the concat across calls
-    # within a program (loop-invariant: tables are constants per call).
-    tab = jnp.concatenate([tx, ty], axis=2)
-    if _FBSEL == "vpu":
-        # u32 tables for the VPU masked select (limbs < 2^16, exact in
-        # the stored f32; the cast runs once at graph level, not Mosaic)
-        tab = tab.astype(jnp.int32).astype(jnp.uint32)
     dig = _digits(scalars).reshape(N_WINDOWS, F, nb, 1, TILE)
     sx, sy, sz = fixed_msm_sum_flat(tab, dig)
     return PointJ(sx, sy, sz)

@@ -222,23 +222,31 @@ def scalar_mul_flat(px, py, pz, k):
 
 # -- small shared-window MSM (dynamic points) ---------------------------------
 
+def _row_at(a3, r):
+    """Masked dynamic row select of a 3-D VALUE's leading dim. Values do
+    not allow dynamic leading-dim indexing in Mosaic, and reading a 1-D
+    row then reshaping is an unsupported 1-D->2-D shape cast (the bug
+    that broke the round-2 bench: tpu.reshape (512) -> (4x128)). Unrolled
+    masked adds keep everything 2-D (the _tab_select pattern)."""
+    acc = jnp.zeros(a3.shape[1:], a3.dtype)
+    for i in range(a3.shape[0]):
+        acc = acc + jnp.where(r == i, a3[i], 0)
+    return acc
+
+
 def _dig_at(kk, wi):
     """kk: (16, MS_TILE) scalar limbs; wi: dynamic 4-bit digit index (LSB
-    order) -> (_MS_SUB, 128) window digits. A dynamic single-row read
-    from VMEM would need a provably 8-aligned sublane offset (Mosaic
-    rule), so select the limb row with a masked sum instead — trivial
-    VPU work next to the point add it feeds."""
+    order) -> (_MS_SUB, 128) window digits. The limb axis is selected
+    with masked adds (a dynamic single-row VMEM read would need a
+    provably 8-aligned sublane offset, and a 1-D intermediate would need
+    an unsupported 1-D->2-D shape cast) — trivial VPU work next to the
+    point add it feeds. The (16, MS_TILE) -> (16, _MS_SUB, 128) split
+    happens FIRST so every value stays >= 2-D (pallas_curve._ld class,
+    known to lower)."""
     row = wi // 4
     sh = (4 * (wi % 4)).astype(jnp.uint32)
-    # sum in int32: Mosaic has no unsigned-integer reductions (digits
-    # are 0..15, exact in either signedness)
-    rows = ((kk >> sh) & jnp.uint32(15)).astype(jnp.int32)
-    sel = jax.lax.broadcasted_iota(jnp.int32, kk.shape, 0) == row
-    return (
-        jnp.sum(jnp.where(sel, rows, 0), axis=0)
-        .astype(jnp.uint32)
-        .reshape(_MS_SUB, 128)
-    )
+    dig3 = (kk.reshape(16, _MS_SUB, 128) >> sh) & jnp.uint32(15)
+    return _row_at(dig3, row)
 
 
 def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
@@ -415,6 +423,10 @@ def _msm_small_glv_kernel(
 
     jax.lax.fori_loop(0, D, tab_i, 0)
 
+    # negate masks, split to (D2, _MS_SUB, 128) up front (a per-row 1-D
+    # read would need an unsupported 1-D->2-D cast); loop constant.
+    sg3 = sg_ref[:].reshape(D2, _MS_SUB, 128)
+
     # window walk: 4 doubles + 2D masked adds per window
     def walk(w, acc):
         sx, sy, sz = acc
@@ -436,7 +448,7 @@ def _msm_small_glv_kernel(
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
             qx = jnp.where(is_phi, pf.mul_p(qx, beta3), qx)
-            neg = sg_ref[j].reshape(_MS_SUB, 128) != 0
+            neg = _row_at(sg3, j) != 0
             qy = pf.select(neg, pf.sub_p(jnp.zeros_like(qy), qy), qy)
             return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
 

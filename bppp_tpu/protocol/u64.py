@@ -124,13 +124,12 @@ def build_u64_tables(g: PointJ, g_vec: PointJ, h_vec: PointJ):
             for a, b, c in zip(g, h_vec, g_vec)
         )
     )  # [g | h(32) | g_vec(16)] -> (16, 49)
-    tx, ty = fb.build_tables(pts)
-    # tables are (F, 32, 16, 256) f32; the circuit MSM subset is [g | g_vec]
-    gv = tuple(
-        jnp.concatenate([t[:1], t[1 + H_VEC_FULL_SZ :]], axis=0)
-        for t in (tx, ty)
-    )
-    return {"full": (tx, ty), "gv": gv}
+    tab = fb.build_tables(pts)
+    # tab is kernel-ready (N_WINDOWS, F, rows, N_ENT) — layout/dtype per
+    # BPPP_FBSEL (pallas_fixed_base.build_tables docstring); the circuit
+    # MSM subset [g | g_vec] slices the generator axis 1
+    gv = jnp.concatenate([tab[:, :1], tab[:, 1 + H_VEC_FULL_SZ :]], axis=1)
+    return {"full": tab, "gv": gv}
 
 
 jax.tree_util.register_pytree_node(U64RangeProofDevice, _u64_flatten, _u64_unflatten)

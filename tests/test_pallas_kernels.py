@@ -245,8 +245,12 @@ def test_fixed_base_msm_vs_oracle(rng):
 
 
 def test_fixed_base_msm_vpu_select_matches_mx(rng):
-    """BPPP_FBSEL=vpu (masked-add entry selection) computes the same MSM
-    as the default mx (one-hot MXU matmul) path."""
+    """BPPP_FBSEL=vpu (masked-add entry selection, u32 tables) computes
+    the same MSM as the default mx (byte-split one-hot MXU) path. Tables
+    are FBSEL-specific (layout AND dtype differ), so each half builds its
+    own; the differing kernel-input dtypes also guarantee the two halves
+    can never silently trace the same program (ADVICE r2: the old test
+    relied on clear_caches for that)."""
     import jax
 
     from bppp_tpu.ops import curve as dc
@@ -254,21 +258,24 @@ def test_fixed_base_msm_vpu_select_matches_mx(rng):
 
     F, B = 2, TILE
     pts = dc.from_int_points(_rand_points(rng, F))
-    tables = jax.jit(fb.build_tables)(pts)
     ks = [_rand_wide(rng, of.N, B) for _ in range(F)]
     scal = jnp.stack(
         [jnp.asarray(f.ints_to_limbs(krow)) for krow in ks], axis=1
     )
     old = fb._FBSEL
     try:
+        # fresh lambda identities: jax.jit caches on the underlying
+        # callable, so jit(fb.build_tables) twice would reuse one trace
         fb._FBSEL = "mx"
-        a = jax.tree_util.tree_map(np.asarray, fb.msm_fixed_sum(tables, scal))
+        tab_mx = jax.jit(lambda p: fb.build_tables(p))(pts)
+        assert tab_mx.dtype == jnp.float32 and tab_mx.shape[2] == 64
+        a = jax.tree_util.tree_map(np.asarray, fb.msm_fixed_sum(tab_mx, scal))
         fb._FBSEL = "vpu"
-        jax.clear_caches()
-        b = fb.msm_fixed_sum(tables, scal)
+        tab_vpu = jax.jit(lambda p: fb.build_tables(p))(pts)
+        assert tab_vpu.dtype == jnp.uint32 and tab_vpu.shape[2] == 32
+        b = fb.msm_fixed_sum(tab_vpu, scal)
     finally:
         fb._FBSEL = old
-        jax.clear_caches()
     for ca, cb in zip(a, b):
         assert np.array_equal(ca, np.asarray(cb))
 
