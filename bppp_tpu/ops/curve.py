@@ -399,12 +399,19 @@ def msm(points: PointJ, scalars) -> PointJ:
     Small L (the verifier's per-round folds and commitment-chain MSMs)
     dispatches to a single shared-window kernel (pallas_msm.msm_small_
     flat: 256 + 78L point ops on B lanes instead of 334 ops on L*B
-    ladder lanes). Larger L runs the per-lane ladder + tree reduction.
-    This replaces the reference's naive per-term loop (util.rs:46-60)."""
+    ladder lanes). L > 6 dispatches to the bucketed Pippenger
+    (ops/pippenger.py: sort + prefix-scan + histogram-boundary gather,
+    ~(2L + 256)*32 adds vs the ladder's 334*L). Tiny L off-TPU runs the
+    per-lane ladder + tree reduction. This replaces the reference's
+    naive per-term loop (util.rs:46-60)."""
     if _pallas_enabled():
         out = _msm_small(points, scalars)
         if out is not None:
             return out
+    if points.x.shape[1] > 6:
+        from . import pippenger
+
+        return pippenger.msm_pippenger(points, scalars)
     return pt_sum(pt_scalar_mul(points, scalars), axis=1)
 
 
@@ -573,6 +580,31 @@ def decompress(b) -> PointJ:
     z = _sel(is_id, jnp.zeros_like(x), one)
     y = _sel(is_id, one, y)
     return PointJ(x, y, z)
+
+
+def decompress_checked(b):
+    """(33, *batch) SEC1 bytes -> (PointJ, ok mask). Unlike decompress,
+    does NOT trust its input (VERDICT r2 #7: raw wire bytes reach device
+    verify without the host deserializer's curve check — k256's
+    `from_bytes` rejects these on deserialize, reference serde layer).
+    ok lanes are: the all-zero identity encoding, OR tag in {2, 3} with
+    canonical x < p and x^3 + 7 a quadratic residue (the sqrt ladder's
+    output actually squares back to the RHS). Callers must fold ~ok into
+    their accept bit; invalid lanes still decode to SOME defined point so
+    downstream arithmetic stays total."""
+    pt = decompress(b)
+    tag = b[0]
+    x = f.be_bytes_to_limbs(b[1:])
+    # same subgraphs decompress builds — XLA CSEs them, no extra sqrt
+    rhs = f.fp_add(f.fp_mul(f.fp_sqr(x), x), f._const(B7, x.ndim))
+    is_id = jnp.all(b == 0, axis=0)
+    tag_ok = jnp.logical_or(tag == 2, tag == 3)
+    x_canon = f.limbs_lt_const(x, f.P_INT)
+    on_curve = jnp.all(f.fp_sqr(pt.y) == rhs, axis=0)
+    ok = jnp.logical_or(
+        is_id, jnp.logical_and(tag_ok, jnp.logical_and(x_canon, on_curve))
+    )
+    return pt, ok
 
 
 def pt_eq(p: PointJ, q: PointJ):

@@ -589,6 +589,21 @@ def select(mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def limbs_lt_const(a, m: int):
+    """Canonical-range check: (16, *batch) limbs < python int m ->
+    (*batch,) bool. Lexicographic from the most-significant limb (the
+    limbs themselves must be normalized 16-bit values, true for
+    be_bytes_to_limbs output and all field-op results)."""
+    m_limbs = [(m >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
+    lt = jnp.zeros(a.shape[1:], bool)
+    eq = jnp.ones(a.shape[1:], bool)
+    for i in range(NLIMBS - 1, -1, -1):
+        mi = jnp.uint32(m_limbs[i])
+        lt = jnp.logical_or(lt, jnp.logical_and(eq, a[i] < mi))
+        eq = jnp.logical_and(eq, a[i] == mi)
+    return lt
+
+
 def scalar_from_u64(x):
     if isinstance(x, int):
         return jnp.asarray(int_to_limbs(x))

@@ -118,14 +118,23 @@ class ReciprocalRangeProofDevice:
             ],
             axis=1,
         )
-        pts = dc.decompress(allb)
+        pts, pt_ok = dc.decompress_checked(allb)
+        # malformed-wire hardening (VERDICT r2 #7): off-curve / non-
+        # canonical point bytes and out-of-range scalars must yield
+        # False, never an undefined accept bit (k256 rejects both at
+        # deserialize; raw bytes reach this path without the host layer)
+        wire_ok = jnp.all(pt_ok, axis=0)
+        for sc in (cp.wnla.l, cp.wnla.n):
+            wire_ok = jnp.logical_and(
+                wire_ok, jnp.all(f.limbs_lt_const(sc, f.N_INT), axis=0)
+            )
         v_pt = PointJ(*(a[:, 0] for a in pts))
         r_pt = PointJ(*(a[:, 1] for a in pts))
         four = PointJ(*(a[:, 2:6] for a in pts))
         xr = PointJ(*(a[:, 6:] for a in pts))
         cc = dc.pt_add(v_pt, r_pt)  # circuit commitment = V + R
         cc_bytes = dc.compress(cc)
-        return circuit.verify(
+        ok = circuit.verify(
             pv.single(cc),
             cc_bytes[:, None],
             t,
@@ -133,6 +142,7 @@ class ReciprocalRangeProofDevice:
             fast=fast,
             pre=(four, xr),
         )
+        return jnp.logical_and(ok, wire_ok)
 
     def prove(
         self,

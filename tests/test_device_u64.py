@@ -108,17 +108,21 @@ def test_device_u64_verify(fixture):
     assert ok3.tolist() == [True, False]
 
 
+def _fast_prog(dev):
+    def fn(args, pb):
+        t = DevTranscript(LABEL, batch=(B,))
+        return dev.verify(args["com_bytes"], t, pb, fast=True)
+
+    return aot.cached("test_u64_verify_fast", fn)
+
+
 def test_device_u64_verify_fast(fixture):
     """The collapsed one-MSM verifier (the bench path) accepts exactly the
     proofs the mirror verifier accepts."""
     public, lanes, dev, args = fixture
     pb = cv.reciprocal_proofs_to_bytes([ln["proof"] for ln in lanes])
 
-    def fn(args, pb):
-        t = DevTranscript(LABEL, batch=(B,))
-        return dev.verify(args["com_bytes"], t, pb, fast=True)
-
-    prog = aot.cached("test_u64_verify_fast", fn)
+    prog = _fast_prog(dev)
     ok = np.asarray(prog(args, pb))
     assert ok.tolist() == [True, True]
 
@@ -140,3 +144,63 @@ def test_device_u64_verify_fast(fixture):
         prog(args, pb._replace(circuit=pb.circuit._replace(wnla=pb.circuit.wnla._replace(x=bad_x))))
     )
     assert ok4.tolist() == [False, True]
+
+
+def test_device_u64_verify_malformed_bytes(fixture):
+    """Raw wire bytes that never passed host deserialization must yield
+    False — never an exception or an undefined accept bit (VERDICT r2
+    #7). k256 rejects these at deserialize (off-curve x, invalid tag,
+    non-canonical x >= p, scalar >= n); the device path instead folds an
+    on-curve/canonicality mask into the result (reciprocal.verify
+    wire_ok). Reuses the AOT'd fast-verify program — no new compile."""
+    from bppp_tpu.oracle.field import N as N_INT
+    from bppp_tpu.oracle.field import P as P_INT
+
+    public, lanes, dev, args = fixture
+    pb = cv.reciprocal_proofs_to_bytes([ln["proof"] for ln in lanes])
+    prog = _fast_prog(dev)
+
+    def expect(new_pb, want):
+        assert np.asarray(prog(args, new_pb)).tolist() == want
+
+    # off-curve x: smallest x with x^3 + 7 a quadratic non-residue
+    x_nr = next(
+        x for x in range(2, 100) if pow(x**3 + 7, (P_INT - 1) // 2, P_INT) != 1
+    )
+    bad = np.asarray(pb.r).copy()
+    bad[0, 0] = 2
+    bad[1:, 0] = list(x_nr.to_bytes(32, "big"))
+    expect(pb._replace(r=bad), [False, True])
+
+    # invalid SEC1 tag byte (only 2/3 compressed or 33x00 identity allowed)
+    bad = np.asarray(pb.circuit.c_s).copy()
+    bad[0, 0] = 7
+    expect(pb._replace(circuit=pb.circuit._replace(c_s=bad)), [False, True])
+
+    # non-canonical x >= p (0xFF..FF: x mod p may even be on-curve)
+    bad = np.asarray(pb.r).copy()
+    bad[0, 1] = 2
+    bad[1:, 1] = 0xFF
+    expect(pb._replace(r=bad), [True, False])
+
+    # out-of-range final scalar: any 16-limb encoding >= n must be
+    # rejected (k256 Scalar::from_repr). Note s+n malleability cannot
+    # even be ENCODED for random s (n is within 2^129 of 2^256), so the
+    # check matters exactly for encodings in [n, 2^256) like this one.
+    bad_val = N_INT + 5
+    bad_l = np.asarray(pb.circuit.wnla.l).copy()
+    for i in range(16):
+        bad_l[i, 0, 0] = (bad_val >> (16 * i)) & 0xFFFF
+    expect(
+        pb._replace(circuit=pb.circuit._replace(wnla=pb.circuit.wnla._replace(l=bad_l))),
+        [False, True],
+    )
+
+    # pure garbage bytes everywhere in one lane
+    rng = np.random.default_rng(3)
+    garb = {}
+    for name in ("c_l", "c_r", "c_o", "c_s"):
+        b = np.asarray(getattr(pb.circuit, name)).copy()
+        b[:, 1] = rng.integers(0, 256, size=33)
+        garb[name] = b
+    expect(pb._replace(circuit=pb.circuit._replace(**garb)), [True, False])

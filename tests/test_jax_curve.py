@@ -100,3 +100,49 @@ def test_pt_eq_mask():
     b = as_pointj([rescale(pts[0]), pts[2], ocurve.IDENTITY, ocurve.IDENTITY])
     m = np.asarray(jax.jit(jc.pt_eq)(a, b))
     assert m.tolist() == [True, False, True, False]
+
+
+@pytest.mark.parametrize("L", [16, 64])
+def test_msm_pippenger_vs_oracle(L):
+    """Bucketed Pippenger (ops/pippenger.py, the L > 6 msm dispatch)
+    vs the oracle, with edge lanes: identity point, zero scalar,
+    duplicate points (prefix-scan doubling collisions), batch B=2."""
+    B = 2
+    pts = rand_points(L - 3) + [ocurve.IDENTITY]
+    pts += [pts[0], pts[0]]  # duplicates: complete-add path in the scan
+    ks = [rand_scalar() for _ in range(L - 2)] + [0, rand_scalar()]
+    P = as_pointj(pts)
+    K = jnp.asarray(jf.ints_to_limbs(ks))
+    Pb = jc.PointJ(*(jnp.repeat(c[..., None], B, axis=-1) for c in P))
+    Kb = jnp.repeat(K[..., None], B, axis=-1)
+    out = jax.jit(jc.msm)(Pb, Kb)
+    want = ocurve.IDENTITY
+    for p, k in zip(pts, ks):
+        want = want.add(p.mul(k))
+    for lane in range(B):
+        got = jc.to_int_points(jc.PointJ(*(c[..., lane] for c in out)))[0]
+        assert got.eq(want), f"lane {lane}"
+
+
+def test_decompress_checked_masks():
+    """decompress_checked flags off-curve x, bad tags, and non-canonical
+    x >= p while accepting valid compressed points and the identity."""
+    from bppp_tpu.oracle.field import P as P_INT
+
+    pts = rand_points(2) + [ocurve.IDENTITY]
+    raw = [np.frombuffer(p.to_bytes(), np.uint8).astype(np.uint32) for p in pts]
+    x_nr = next(
+        x for x in range(2, 100) if pow(x**3 + 7, (P_INT - 1) // 2, P_INT) != 1
+    )
+    bad_curve = np.array([2] + list(x_nr.to_bytes(32, "big")), np.uint32)
+    bad_tag = raw[0].copy()
+    bad_tag[0] = 5
+    bad_canon = np.array([3] + [0xFF] * 32, np.uint32)
+    bad_id = np.zeros(33, np.uint32)
+    bad_id[32] = 1  # tag 0 but nonzero payload
+    cols = np.stack(raw + [bad_curve, bad_tag, bad_canon, bad_id], axis=1)
+    pt, ok = jax.jit(jc.decompress_checked)(jnp.asarray(cols))
+    assert np.asarray(ok).tolist() == [True, True, True, False, False, False, False]
+    back = jc.to_int_points(jc.PointJ(*(c[:, :3] for c in pt)))
+    for g, p in zip(back, pts):
+        assert g.eq(p)
