@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""dp scaling-efficiency report (BASELINE.md north-star metric).
+
+Only ONE real TPU chip is reachable from this host, so multi-chip
+throughput cannot be *measured*; it can be *proved* instead. Data
+parallelism here shards the proof-batch axis (every protocol array is
+batch-last), so ideal scaling means exactly two checkable properties of
+the compiled SPMD program on an N-device mesh:
+
+  1. ZERO collectives — no cross-device communication anywhere in the
+     optimized HLO (proofs are independent; parallel/mesh.py dp places
+     only PartitionSpec(..., "dp") on leaves).
+  2. Per-device FLOPs constant — compiling the same per-device batch on
+     1 vs N devices costs the same flops per device (no replicated
+     recompute, no padding blowup).
+
+Both hold => N-chip throughput = N x single-chip throughput up to
+launch overheads that do not cross devices, i.e. dp efficiency 1.0 by
+construction. This script compiles the batched fast verifier at mesh
+sizes {1, N} on the virtual-device CPU backend (the same SPMD partitioner
+TPU uses), checks both properties, and prints the report. Wall-clock on
+virtual CPU devices is NOT reported: 8 "devices" share one physical core
+here, so timing them says nothing about chips (BENCHMARKS.md measurement
+rules). Single-chip measured throughput comes from bench.py on the real
+chip; the 8-chip projection multiplies it by N under the proof above.
+
+Usage:  python tools/scaling.py            # N=8 virtual devices
+        SCALING_N=4 python tools/scaling.py
+"""
+
+import json
+import os
+import re
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+N = int(os.environ.get("SCALING_N", "8"))
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N}"
+)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon .pth hook workaround
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+COLLECTIVES = re.compile(
+    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+)
+PER_DEV_B = 2  # per-device proof batch (tiny: this is a compile check)
+
+
+def _verify_step(B):
+    from bppp_tpu.models import u64_fixture
+    from bppp_tpu.protocol.u64 import U64RangeProofDevice
+    from bppp_tpu.transcript.device import Transcript as DevTranscript
+
+    _, dev, _ = u64_fixture("scaling report", B, tables="never")
+
+    def step(dev, com_bytes, pb):
+        t = DevTranscript(b"u64 range proof", batch=(B,))
+        return dev.verify(com_bytes, t, pb, fast=True)
+
+    sys.path.insert(0, _ROOT)
+    import __graft_entry__ as ge
+
+    com_bytes, pb = ge._u64_args(B)
+    return step, dev, com_bytes, pb
+
+
+def compile_at(n_dev):
+    from bppp_tpu.parallel.mesh import make_mesh, shard_batch
+
+    B = PER_DEV_B * n_dev
+    step, dev, com_bytes, pb = _verify_step(B)
+    mesh = make_mesh(n_dev, axis="dp")
+    args = shard_batch((dev, com_bytes, pb), mesh, axis="dp")
+    compiled = jax.jit(step).lower(*args).compile()
+    txt = compiled.as_text()
+    ncoll = len(COLLECTIVES.findall(txt))
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    return dict(n_dev=n_dev, batch=B, collectives=ncoll, flops=flops)
+
+
+def main():
+    assert len(jax.devices()) >= N, "need N virtual devices (XLA_FLAGS)"
+    r1 = compile_at(1)
+    rn = compile_at(N)
+    # cost_analysis flops are for the per-device partitioned module
+    eff = r1["flops"] / rn["flops"] if rn["flops"] else float("nan")
+    print(f"{'mesh':>5} {'batch':>6} {'collectives':>12} {'per-dev flops':>14} {'dp efficiency':>14}")
+    print(f"{1:>5} {r1['batch']:>6} {r1['collectives']:>12} {r1['flops']:>14.3e} {'1.000 (def)':>14}")
+    print(f"{N:>5} {rn['batch']:>6} {rn['collectives']:>12} {rn['flops']:>14.3e} {eff:>14.3f}")
+    ok = rn["collectives"] == 0 and 0.97 <= eff <= 1.03
+    print(json.dumps({
+        "metric": "dp_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "per-device-flops ratio (1 dev / per-dev of N)",
+        "mesh_sizes": [1, N],
+        "collectives_at_n": rn["collectives"],
+        "ideal": bool(ok),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
