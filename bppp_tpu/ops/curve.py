@@ -421,7 +421,13 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
     With GLV enabled (default; BPPP_GLV=0 disables), each 256-bit scalar
     splits into two signed <=129-bit halves (ops/glv.py) and the kernel
     walks 33 windows instead of 64 — 132 doubles instead of 256 — with
-    phi(P) = (beta*x, y) applied to selected table entries on the fly."""
+    phi(P) = (beta*x, y) applied to selected table entries on the fly.
+
+    Tile selection (profile-driven, r3): batches that tile at the FULL
+    lane tile run chunks of <= FT_DMAX points per kernel call at _SUB=8
+    vreg packing (2x the half-tile add rate; in-VMEM tables cap D) and
+    combine chunks with one complete add each. Batches that only tile
+    at the half tile keep the single D <= 6 call."""
     import os
 
     from . import pallas_msm as pm
@@ -433,9 +439,39 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
     prod = 1
     for d in batch:
         prod *= d
-    if prod < pm.MS_TILE or prod % pm.MS_TILE != 0:
-        return None  # small-MSM kernels tile on the half lane tile
+    if (
+        os.environ.get("BPPP_MSFT", "1") != "0"
+        and prod >= pm.TILE
+        and prod % pm.TILE == 0
+    ):
+        tile, dmax = pm.TILE, pm.FT_DMAX
+    elif prod >= pm.MS_TILE and prod % pm.MS_TILE == 0:
+        tile, dmax = pm.MS_TILE, 6
+    else:
+        return None
     kk = jnp.broadcast_to(scalars, points.x.shape)
+
+    acc = None
+    for lo in range(0, L, dmax):
+        hi = min(lo + dmax, L)
+        part = _msm_small_call(
+            PointJ(*(c[:, lo:hi] for c in points)),
+            kk[:, lo:hi],
+            prod,
+            tile,
+        )
+        # chunks are independent random points: complete add
+        acc = part if acc is None else pt_add(acc, part)
+    return PointJ(*(c.reshape((16,) + batch) for c in acc))
+
+
+def _msm_small_call(points: PointJ, kk, prod: int, tile: int) -> PointJ:
+    """One shared-window kernel call over flat (16, prod) lanes."""
+    import os
+
+    from . import pallas_msm as pm
+
+    L = points.x.shape[1]
 
     def re(c):
         return jnp.moveaxis(c, 1, 0).reshape(L, 16, prod)
@@ -451,13 +487,13 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
             jnp.stack([n1, n2], axis=1).reshape(2 * L, prod).astype(jnp.uint32)
         )
         outs = pm.msm_small_glv_flat(
-            re(points.x), re(points.y), re(points.z), mags, signs
+            re(points.x), re(points.y), re(points.z), mags, signs, tile=tile
         )
     else:
         outs = pm.msm_small_flat(
-            re(points.x), re(points.y), re(points.z), re(kk)
+            re(points.x), re(points.y), re(points.z), re(kk), tile=tile
         )
-    return PointJ(*(o.reshape((16,) + batch) for o in outs))
+    return PointJ(*outs)
 
 
 def _tree_sum_axis1(p: PointJ) -> PointJ:

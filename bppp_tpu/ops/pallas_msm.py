@@ -29,15 +29,19 @@ from . import pallas_curve as pc
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB, _ld, _spec, _st
 
-# The shared-window small-MSM kernels run on a HALF lane tile: their
-# three in-VMEM point tables are the scoped-vmem budget (D=5 at
-# TILE=1024: 15.7 MB of the 16 MB limit, leaving nothing for in/out
-# blocks and loop temporaries — hardware compiles failed at _SUB=8).
-# Halving the tile halves every buffer (tables 7.9 MB) at the cost of
-# _SUB=4 vreg packing for just these kernels; everything else keeps the
-# full tile.
+# Small-MSM lane-tile geometry. The three in-VMEM point tables are the
+# scoped-vmem budget (16 MB/kernel): tables cost D * 16 ents * 16 limbs
+# * 3 coords * tile * 4 B = 3.07 MB per point at tile=1024. Two
+# operating points, chosen by the CALLER (curve._msm_small):
+#   * FULL tile (TILE), D <= 3  — tables 9.4 MB, _SUB=8 vreg packing
+#     (6.45 ns/lane/add); larger L runs ceil(L/3) chunked calls combined
+#     with complete adds. This is the fast path (profile r3: the D=4..5
+#     half-tile calls were the verifier's dominant 30 ms).
+#   * HALF tile (MS_TILE), D <= 6 — tables 7.9 MB at _SUB=4 packing
+#     (12.9 ns/lane/add); kept for batches that only tile at MS_TILE.
 _MS_SUB = max(_SUB // 2, 2)
 MS_TILE = _MS_SUB * 128
+FT_DMAX = 3  # max points per full-tile kernel call (VMEM budget)
 
 
 def _ent_iota(shape):
@@ -234,39 +238,41 @@ def _row_at(a3, r):
     return acc
 
 
-def _dig_at(kk, wi):
-    """kk: (16, MS_TILE) scalar limbs; wi: dynamic 4-bit digit index (LSB
-    order) -> (_MS_SUB, 128) window digits. The limb axis is selected
+def _dig_at(kk, wi, sub):
+    """kk: (16, sub*128) scalar limbs; wi: dynamic 4-bit digit index (LSB
+    order) -> (sub, 128) window digits. The limb axis is selected
     with masked adds (a dynamic single-row VMEM read would need a
     provably 8-aligned sublane offset, and a 1-D intermediate would need
     an unsupported 1-D->2-D shape cast) — trivial VPU work next to the
-    point add it feeds. The (16, MS_TILE) -> (16, _MS_SUB, 128) split
-    happens FIRST so every value stays >= 2-D (pallas_curve._ld class,
-    known to lower)."""
+    point add it feeds. The (16, T) -> (16, sub, 128) split happens
+    FIRST so every value stays >= 2-D (pallas_curve._ld class, known to
+    lower)."""
     row = wi // 4
     sh = (4 * (wi % 4)).astype(jnp.uint32)
-    dig3 = (kk.reshape(16, _MS_SUB, 128) >> sh) & jnp.uint32(15)
+    dig3 = (kk.reshape(16, sub, 128) >> sh) & jnp.uint32(15)
     return _row_at(dig3, row)
 
 
-def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
+def _msm_small_kernel(SUB, px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
     """sum_i [k_i] P_i over a SMALL static D of per-proof points, one
     kernel: in-VMEM 4-bit tables per point, one shared MSB-first window
     walk (4 doubles + D table adds per window). Replaces D*B-lane
     ladders (334 ops/lane) with 256 + 78*D ops on B lanes. Loops over D
     are fori with dynamic scratch indexing so the binary holds ONE
-    table-build add, ONE walk add, and ONE double site."""
+    table-build add, ONE walk add, and ONE double site. SUB = sublane
+    count of the lane tile (tile = SUB * 128)."""
     D = px.shape[0]
-    zero3 = jnp.zeros((16, _MS_SUB, 128), jnp.uint32)
+    T = SUB * 128
+    zero3 = jnp.zeros((16, SUB, 128), jnp.uint32)
     one3 = jnp.pad(
-        jnp.ones((1, _MS_SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+        jnp.ones((1, SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
 
     def ld_pt(i):
         return (
-            px[i].reshape(16, _MS_SUB, 128),
-            py[i].reshape(16, _MS_SUB, 128),
-            pz[i].reshape(16, _MS_SUB, 128),
+            px[i].reshape(16, SUB, 128),
+            py[i].reshape(16, SUB, 128),
+            pz[i].reshape(16, SUB, 128),
         )
 
     # tables: tab[i*16 + d] = [d] P_i. Entry 2 is a genuine doubling
@@ -280,24 +286,24 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
         dx = pf.select(p_id, X, dx)
         dy = pf.select(p_id, Y, dy)
         dz = pf.select(p_id, Z, dz)
-        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
-        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, MS_TILE)
-        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, T)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, T)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, T)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, T)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, T)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, T)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, T)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, T)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, T)
 
         def ent_body(d, _):
-            cx = tabx[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
-            cy = taby[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
-            cz = tabz[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cx = tabx[i * 16 + d - 1].reshape(16, SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, SUB, 128)
             nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
-            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, MS_TILE)
-            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, MS_TILE)
-            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, MS_TILE)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, T)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, T)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, T)
             return 0
 
         jax.lax.fori_loop(3, 16, ent_body, 0)
@@ -316,10 +322,10 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
 
         def add_i(i, st):
             sx, sy, sz = st
-            d = _dig_at(k_ref[i], 63 - w)  # MSB-first walk
-            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
-            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
-            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            d = _dig_at(k_ref[i], 63 - w, SUB)  # MSB-first walk
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
             qx = _tab_select(ents_x, d)
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
@@ -330,41 +336,53 @@ def _msm_small_kernel(px, py, pz, k_ref, ox, oy, oz, tabx, taby, tabz):
         return jax.lax.fori_loop(0, D, add_i, (sx, sy, sz))
 
     sx, sy, sz = jax.lax.fori_loop(0, 64, walk, (zero3, one3, zero3))
-    ox[:] = sx.reshape(16, MS_TILE)
-    oy[:] = sy.reshape(16, MS_TILE)
-    oz[:] = sz.reshape(16, MS_TILE)
+    ox[:] = sx.reshape(16, T)
+    oy[:] = sy.reshape(16, T)
+    oz[:] = sz.reshape(16, T)
 
 
-@jax.jit
-def msm_small_flat(px, py, pz, k):
-    """(D, 16, B) coords/scalars -> 3x (16, B): reduced small MSM."""
-    D, _, B = px.shape
-    spec_in = pl.BlockSpec(
-        (D, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
-    )
-    spec_out = pl.BlockSpec(
-        (16, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
-    )
-    out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
-    return pl.pallas_call(
-        _msm_small_kernel,
-        grid=(B // MS_TILE,),
-        in_specs=[spec_in] * 4,
-        out_specs=[spec_out] * 3,
-        out_shape=[out] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-        ],
-        interpret=INTERPRET(),
-    )(px, py, pz, k)
+@functools.lru_cache(maxsize=None)
+def _small_prog(tile):
+    sub = tile // 128
+    body = functools.partial(_msm_small_kernel, sub)
+
+    @jax.jit
+    def run(px, py, pz, k):
+        D, _, B = px.shape
+        spec_in = pl.BlockSpec(
+            (D, 16, tile), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        )
+        spec_out = pl.BlockSpec(
+            (16, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+        )
+        out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
+        return pl.pallas_call(
+            body,
+            grid=(B // tile,),
+            in_specs=[spec_in] * 4,
+            out_specs=[spec_out] * 3,
+            out_shape=[out] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+            ],
+            interpret=INTERPRET(),
+        )(px, py, pz, k)
+
+    return run
+
+
+def msm_small_flat(px, py, pz, k, tile=None):
+    """(D, 16, B) coords/scalars -> 3x (16, B): reduced small MSM.
+    tile: lane-tile size (default MS_TILE; TILE for D <= FT_DMAX)."""
+    return _small_prog(tile or MS_TILE)(px, py, pz, k)
 
 
 # -- GLV shared-window MSM (dynamic points, halved window walk) ---------------
 
 def _msm_small_glv_kernel(
-    W, px, py, pz, k_ref, sg_ref, ox, oy, oz, tabx, taby, tabz
+    W, SUB, px, py, pz, k_ref, sg_ref, ox, oy, oz, tabx, taby, tabz
 ):
     """GLV variant of _msm_small_kernel: D points but 2D scalar HALVES
     of <= 4W bits each (W = glv.GLV_WINDOWS = 33), so the shared walk
@@ -377,17 +395,18 @@ def _msm_small_glv_kernel(
     break (identity lanes are masked as before)."""
     D = px.shape[0]
     D2 = 2 * D
-    zero3 = jnp.zeros((16, _MS_SUB, 128), jnp.uint32)
+    T = SUB * 128
+    zero3 = jnp.zeros((16, SUB, 128), jnp.uint32)
     one3 = jnp.pad(
-        jnp.ones((1, _MS_SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+        jnp.ones((1, SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
     )
-    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (_MS_SUB, 128))
+    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (SUB, 128))
 
     def ld_pt(i):
         return (
-            px[i].reshape(16, _MS_SUB, 128),
-            py[i].reshape(16, _MS_SUB, 128),
-            pz[i].reshape(16, _MS_SUB, 128),
+            px[i].reshape(16, SUB, 128),
+            py[i].reshape(16, SUB, 128),
+            pz[i].reshape(16, SUB, 128),
         )
 
     # tables: tab[i*16 + d] = [d] P_i (same build as _msm_small_kernel)
@@ -398,24 +417,24 @@ def _msm_small_glv_kernel(
         dx = pf.select(p_id, X, dx)
         dy = pf.select(p_id, Y, dy)
         dz = pf.select(p_id, Z, dz)
-        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, MS_TILE)
-        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, MS_TILE)
-        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, MS_TILE)
-        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, MS_TILE)
-        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, MS_TILE)
+        tabx[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, T)
+        taby[pl.ds(i * 16, 1)] = one3.reshape(1, 16, T)
+        tabz[pl.ds(i * 16, 1)] = zero3.reshape(1, 16, T)
+        tabx[pl.ds(i * 16 + 1, 1)] = X.reshape(1, 16, T)
+        taby[pl.ds(i * 16 + 1, 1)] = Y.reshape(1, 16, T)
+        tabz[pl.ds(i * 16 + 1, 1)] = Z.reshape(1, 16, T)
+        tabx[pl.ds(i * 16 + 2, 1)] = dx.reshape(1, 16, T)
+        taby[pl.ds(i * 16 + 2, 1)] = dy.reshape(1, 16, T)
+        tabz[pl.ds(i * 16 + 2, 1)] = dz.reshape(1, 16, T)
 
         def ent_body(d, _):
-            cx = tabx[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
-            cy = taby[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
-            cz = tabz[i * 16 + d - 1].reshape(16, _MS_SUB, 128)
+            cx = tabx[i * 16 + d - 1].reshape(16, SUB, 128)
+            cy = taby[i * 16 + d - 1].reshape(16, SUB, 128)
+            cz = tabz[i * 16 + d - 1].reshape(16, SUB, 128)
             nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
-            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, MS_TILE)
-            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, MS_TILE)
-            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, MS_TILE)
+            tabx[pl.ds(i * 16 + d, 1)] = nx.reshape(1, 16, T)
+            taby[pl.ds(i * 16 + d, 1)] = ny.reshape(1, 16, T)
+            tabz[pl.ds(i * 16 + d, 1)] = nz.reshape(1, 16, T)
             return 0
 
         jax.lax.fori_loop(3, 16, ent_body, 0)
@@ -423,9 +442,9 @@ def _msm_small_glv_kernel(
 
     jax.lax.fori_loop(0, D, tab_i, 0)
 
-    # negate masks, split to (D2, _MS_SUB, 128) up front (a per-row 1-D
+    # negate masks, split to (D2, SUB, 128) up front (a per-row 1-D
     # read would need an unsupported 1-D->2-D cast); loop constant.
-    sg3 = sg_ref[:].reshape(D2, _MS_SUB, 128)
+    sg3 = sg_ref[:].reshape(D2, SUB, 128)
 
     # window walk: 4 doubles + 2D masked adds per window
     def walk(w, acc):
@@ -440,10 +459,10 @@ def _msm_small_glv_kernel(
             sx, sy, sz = st
             i = j // 2
             is_phi = (j % 2) == 1
-            d = _dig_at(k_ref[j], W - 1 - w)  # MSB-first walk
-            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
-            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
-            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, _MS_SUB, 128)
+            d = _dig_at(k_ref[j], W - 1 - w, SUB)  # MSB-first walk
+            ents_x = tabx[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
+            ents_y = taby[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
+            ents_z = tabz[pl.ds(i * 16, 16)].reshape(16, 16, SUB, 128)
             qx = _tab_select(ents_x, d)
             qy = _tab_select(ents_y, d)
             qz = _tab_select(ents_z, d)
@@ -455,9 +474,9 @@ def _msm_small_glv_kernel(
         return jax.lax.fori_loop(0, D2, add_j, (sx, sy, sz))
 
     sx, sy, sz = jax.lax.fori_loop(0, W, walk, (zero3, one3, zero3))
-    ox[:] = sx.reshape(16, MS_TILE)
-    oy[:] = sy.reshape(16, MS_TILE)
-    oz[:] = sz.reshape(16, MS_TILE)
+    ox[:] = sx.reshape(16, T)
+    oy[:] = sy.reshape(16, T)
+    oz[:] = sz.reshape(16, T)
 
 
 _GLV_BETA16 = None  # set below (avoids importing glv before jax config)
@@ -472,40 +491,52 @@ def _glv_windows():
     return glv.GLV_WINDOWS
 
 
-@jax.jit
-def msm_small_glv_flat(px, py, pz, k, sg):
-    """(D,16,B) coords, (2D,16,B) GLV magnitude halves, (2D,B) uint32
-    negate masks -> 3x (16,B): reduced MSM with a 132-double walk."""
+@functools.lru_cache(maxsize=None)
+def _glv_prog(tile):
     W = _glv_windows()
-    D, _, B = px.shape
-    D2 = 2 * D
-    spec_pt = pl.BlockSpec(
-        (D, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
-    )
-    spec_k = pl.BlockSpec(
-        (D2, 16, MS_TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
-    )
-    spec_sg = pl.BlockSpec(
-        (D2, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
-    )
-    spec_out = pl.BlockSpec(
-        (16, MS_TILE), lambda t: (0, t), memory_space=pltpu.VMEM
-    )
-    out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
-    body = functools.partial(_msm_small_glv_kernel, W)
-    return pl.pallas_call(
-        body,
-        grid=(B // MS_TILE,),
-        in_specs=[spec_pt] * 3 + [spec_k, spec_sg],
-        out_specs=[spec_out] * 3,
-        out_shape=[out] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-            pltpu.VMEM((D * 16, 16, MS_TILE), jnp.uint32),
-        ],
-        interpret=INTERPRET(),
-    )(px, py, pz, k, sg)
+    sub = tile // 128
+    body = functools.partial(_msm_small_glv_kernel, W, sub)
+
+    @jax.jit
+    def run(px, py, pz, k, sg):
+        D, _, B = px.shape
+        D2 = 2 * D
+        spec_pt = pl.BlockSpec(
+            (D, 16, tile), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        )
+        spec_k = pl.BlockSpec(
+            (D2, 16, tile), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        )
+        spec_sg = pl.BlockSpec(
+            (D2, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+        )
+        spec_out = pl.BlockSpec(
+            (16, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+        )
+        out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
+        return pl.pallas_call(
+            body,
+            grid=(B // tile,),
+            in_specs=[spec_pt] * 3 + [spec_k, spec_sg],
+            out_specs=[spec_out] * 3,
+            out_shape=[out] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 16, 16, tile), jnp.uint32),
+            ],
+            interpret=INTERPRET(),
+        )(px, py, pz, k, sg)
+
+    return run
+
+
+def msm_small_glv_flat(px, py, pz, k, sg, tile=None):
+    """(D,16,B) coords, (2D,16,B) GLV magnitude halves, (2D,B) uint32
+    negate masks -> 3x (16,B): reduced MSM with a 132-double walk.
+    tile: lane-tile size (default MS_TILE; TILE for the D <= FT_DMAX
+    full-tile fast path — see the geometry note at the top)."""
+    return _glv_prog(tile or MS_TILE)(px, py, pz, k, sg)
 
 
 # -- fused reduction over a points axis ---------------------------------------

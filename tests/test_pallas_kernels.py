@@ -288,3 +288,30 @@ def test_keccak_kernel_vs_oracle(rng):
         want = ok.f1600_bytes(state_bytes)
         got = bytes(int(b) for b in out[:, lane])
         assert got == want, f"lane {lane}"
+
+
+def test_msm_dispatch_fulltile_chunked_vs_oracle(rng, monkeypatch):
+    """L=5 > FT_DMAX on a full-tile batch: the dispatch runs ceil(5/3)=2
+    shared-window kernel calls at the full lane tile and combines the
+    chunk partials with a complete add (the r3 fast path)."""
+    monkeypatch.setenv("BPPP_PALLAS", "1")
+    from bppp_tpu.ops import curve as dc
+
+    L, B = 5, TILE
+    rows = [_rand_points(rng, B) for _ in range(L)]
+    rows[3][0] = oc.IDENTITY
+    ks = [_rand_wide(rng, of.N, B) for _ in range(L)]
+    ks[0][0] = 0
+    pts = dc.PointJ(
+        jnp.stack([_flat_points(r)[0] for r in rows], axis=1),
+        jnp.stack([_flat_points(r)[1] for r in rows], axis=1),
+        jnp.stack([_flat_points(r)[2] for r in rows], axis=1),
+    )
+    kk = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=1)
+    out = dc.msm(pts, kk)
+    got = _to_points(out.x, out.y, out.z)
+    for p in [0, 1, 100, TILE - 1]:
+        want = oc.IDENTITY
+        for i in range(L):
+            want = want.add(rows[i][p].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"

@@ -11,7 +11,7 @@ committing:
     python tools/tpu_kernel_check.py              # all steps
     python tools/tpu_kernel_check.py msm glv      # named steps only
 
-Steps: add dbl ladder pow keccak tree msm glv fixed fixed_vpu
+Steps: add dbl ladder pow keccak tree msm glv glv_ft fixed fixed_vpu
 Exit code is the number of failed steps.
 """
 
@@ -194,7 +194,7 @@ def _msm_check(outs, pts, ks, B, label):
 def check_msm():
     os.environ["BPPP_GLV"] = "0"
     try:
-        B = MS_TILE
+        B = MS_TILE  # half-tile path
         pts, ks, points, kk = _msm_case(2, B)
         out = dc.msm(points, kk)
         return _msm_check(tuple(out), pts, ks, B, "MSM")
@@ -203,10 +203,18 @@ def check_msm():
 
 
 def check_glv():
-    B = MS_TILE
+    B = MS_TILE  # half-tile path
     pts, ks, points, kk = _msm_case(2, B)
     out = dc.msm(points, kk)  # GLV default-on
     return _msm_check(tuple(out), pts, ks, B, "GLV-MSM")
+
+
+def check_glv_ft():
+    """Full-tile chunked dispatch (D <= FT_DMAX per call + combine)."""
+    B = TILE
+    pts, ks, points, kk = _msm_case(5, B)
+    out = dc.msm(points, kk)  # GLV default-on, 2 chunked calls
+    return _msm_check(tuple(out), pts, ks, B, "GLV-MSM-FT")
 
 
 def _check_fixed(label):
@@ -253,6 +261,7 @@ STEPS = [
     ("tree", check_tree),
     ("msm", check_msm),
     ("glv", check_glv),
+    ("glv_ft", check_glv_ft),
     ("ladder", check_ladder),
     ("fixed", check_fixed),
     ("fixed_vpu", check_fixed_vpu),
