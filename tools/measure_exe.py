@@ -233,8 +233,9 @@ def run_chain():
 
 
 def run_profile():
-    """jax.profiler trace of one composed fast-verify call; prints the
-    top ops by device time."""
+    """jax.profiler trace of one composed fast-verify (or, with
+    BPPP_PROFILE_MODE=prove, fast-prove) call; prints the top ops by
+    device time."""
     import glob
     import jax
 
@@ -244,28 +245,54 @@ def run_profile():
     from bppp_tpu.transcript.device import Transcript as DevTranscript
 
     B = int(os.environ.get("BPPP_BENCH_BATCH", 512))
+    mode = os.environ.get("BPPP_PROFILE_MODE", "verify")
     public, dev, rng = u64_fixture("bench generators", B)
     x, s = 0xDEADBEEFCAFEBABE, rng.scalar()
-    com = public.commit_value(x, s)
-    proof = public.prove(x, s, HostTranscript(b"u64 range proof"), rng)
-    pb = cv.reciprocal_proofs_to_bytes([proof] * B)
-    com_bytes = cv.point_bytes([com] * B)
-    dev = jax.device_put(dev)
-    pb = jax.device_put(pb)
-    com_bytes = jax.device_put(com_bytes)
+    if mode == "prove":
+        from bppp_tpu.protocol.u64 import U64_BLIND_DRAWS
 
-    def verify_fn(dev, com_bytes, pb):
-        t = DevTranscript(b"u64 range proof", batch=(B,))
-        return dev.verify(com_bytes, t, pb, fast=True)
+        x_words = np.broadcast_to(
+            np.array([[x & 0xFFFFFFFF], [x >> 32]], np.uint32), (2, B)
+        )
+        s_limbs = np.broadcast_to(np.asarray(cv.f.int_to_limbs(s)), (16, B))
+        blind = np.broadcast_to(
+            np.asarray(cv.scalar_cols([rng.scalars(U64_BLIND_DRAWS)])),
+            (16, U64_BLIND_DRAWS, B),
+        ).copy()
+        args = (
+            jax.device_put(dev),
+            jax.device_put(np.asarray(x_words)),
+            jax.device_put(np.asarray(s_limbs)),
+            jax.device_put(blind),
+        )
 
-    comp = jax.jit(verify_fn).lower(dev, com_bytes, pb).compile()
-    np.asarray(comp(dev, com_bytes, pb))  # warm
+        def step_fn(dev, x_words, s_limbs, blind):
+            t = DevTranscript(b"u64 range proof", batch=(B,))
+            return dev.prove(x_words, s_limbs, t, blind)
+
+    else:
+        com = public.commit_value(x, s)
+        proof = public.prove(x, s, HostTranscript(b"u64 range proof"), rng)
+        pb = cv.reciprocal_proofs_to_bytes([proof] * B)
+        com_bytes = cv.point_bytes([com] * B)
+        args = (
+            jax.device_put(dev),
+            jax.device_put(com_bytes),
+            jax.device_put(pb),
+        )
+
+        def step_fn(dev, com_bytes, pb):
+            t = DevTranscript(b"u64 range proof", batch=(B,))
+            return dev.verify(com_bytes, t, pb, fast=True)
+
+    comp = jax.jit(step_fn).lower(*args).compile()
+    jax.block_until_ready(comp(*args))  # warm
 
     tdir = "/tmp/jaxtrace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
-        out = comp(dev, com_bytes, pb)
-        np.asarray(out)
+        out = comp(*args)
+        jax.block_until_ready(out)
 
     files = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
     print("trace files:", files)
