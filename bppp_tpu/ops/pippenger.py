@@ -43,18 +43,22 @@ from . import curve as dc
 from . import field as f
 from .curve import PointJ
 
-C_BITS = 8  # window width; 2^c-entry histogram boundary gather per window
-_PER_LIMB = 16 // C_BITS
-N_WINDOWS = 256 // C_BITS
-N_ENT = 1 << C_BITS
+def _pick_c(L: int) -> int:
+    """Window width by problem size, restricted to divisors of the
+    16-bit limb width (digit extraction stays pure shifts). Per-window
+    work ~ 2L (prefix scan) + 2^c - 1 (boundary gather tree), total
+    (256/c)(2L + 2^c): c=8 only amortizes its 255-entry tree when
+    L > ~112; c=4 wins below that."""
+    return 8 if L > 112 else 4
 
 
-def _digits_all(scalars):
-    """(16, L, *b) limbs -> (N_WINDOWS, L, *b) int32 digits, MSB first."""
+def _digits_all(scalars, c: int):
+    """(16, L, *b) limbs -> (256/c, L, *b) int32 digits, MSB first."""
+    per_limb = 16 // c
     rows = []
-    for w in range(N_WINDOWS - 1, -1, -1):
+    for w in range(256 // c - 1, -1, -1):
         rows.append(
-            (scalars[w // _PER_LIMB] >> (C_BITS * (w % _PER_LIMB))) & (N_ENT - 1)
+            (scalars[w // per_limb] >> (c * (w % per_limb))) & ((1 << c) - 1)
         )
     return jnp.stack(rows, axis=0).astype(jnp.int32)
 
@@ -72,23 +76,26 @@ def _prefix_pt_sum(p: PointJ) -> PointJ:
     return PointJ(*out)
 
 
-def msm_pippenger(points: PointJ, scalars) -> PointJ:
+def msm_pippenger(points: PointJ, scalars, c: int | None = None) -> PointJ:
     """sum_i [s_i] P_i. points: coords (16, L, *batch); scalars
-    (16, L, *batch) F_n limbs (broadcastable). -> coords (16, *batch)."""
+    (16, L, *batch) F_n limbs (broadcastable). -> coords (16, *batch).
+    c: window bits (default _pick_c(L); must divide 16)."""
     L = points.x.shape[1]
+    c = c or _pick_c(L)
+    n_ent = 1 << c
     batch = points.x.shape[2:]
     scalars = jnp.broadcast_to(scalars, points.x.shape)
-    digs = _digits_all(scalars)  # (W, L, *b) MSB first
+    digs = _digits_all(scalars, c)  # (W, L, *b) MSB first
 
     idv = dc.identity(batch)
     id_col = PointJ(*(a[:, None] for a in idv))
-    thresholds = jnp.arange(1, N_ENT, dtype=jnp.int32).reshape(
-        (N_ENT - 1,) + (1,) * len(batch)
+    thresholds = jnp.arange(1, n_ent, dtype=jnp.int32).reshape(
+        (n_ent - 1,) + (1,) * len(batch)
     )
 
     def window(carry, d):
         total = PointJ(*carry)
-        for _ in range(C_BITS):
+        for _ in range(c):
             total = dc.pt_double(total)
         # sort lanes by digit descending (argsort of -d; ties arbitrary)
         order = jnp.argsort(-d, axis=0)  # (L, *b)

@@ -155,7 +155,25 @@ class ArithmeticCircuitDevice:
 
     def commit(self, v, s) -> PointJ:
         """C = v[0]*g + s*h_vec[0] + <h_vec[9:], v[1:]>.
-        v: (16, nv, *b), s: (16, *b)."""
+        v: (16, nv, *b), s: (16, *b). With window tables present the
+        scalars zero-pad into the full fixed-generator layout and ride
+        the fixed-base kernel (the generic L=18 MSM path dominated the
+        prover profile in r3); zero scalars select the identity
+        sentinel."""
+        nv1 = v.shape[1] - 1
+        if self.tables is not None and pv.pv_len(self.h_vec) >= 9 + nv1:
+            from ..ops import fixed_base as fb
+
+            batch = self.batch
+            all_pts = pv.pv_concat(
+                [pv.single(self.g), self.h_vec, self.h_vec_, self.g_vec, self.g_vec_]
+            )
+            F = pv.pv_len(all_pts)
+            z = lambda k: jnp.zeros((16, k) + batch, jnp.uint32)
+            scal = sv.sv_concat(
+                [v[:, :1], s[:, None], z(8), v[:, 1:], z(F - 10 - nv1)]
+            )
+            return fb.msm_fixed_total(self.tables.get("full"), all_pts, scal)
         pts = pv.pv_concat(
             [
                 pv.single(self.g),

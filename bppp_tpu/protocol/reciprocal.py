@@ -77,13 +77,45 @@ class ReciprocalRangeProofDevice:
         self.tables = tables  # fixed-base window tables (circuit layer)
         self.batch = g.x.shape[1:]
 
+    def _fixed_commit(self, parts) -> PointJ:
+        """MSM over the FULL fixed-generator table layout
+        [g | h_vec | h_vec_ | g_vec | g_vec_] with zero-padded scalars:
+        parts = [(table_pos, (16, k, *b) scalars)], static positions.
+        Zero scalars select the identity sentinel, so embedding a tiny
+        commitment costs one pass of the same fixed-base kernel the rest
+        of the prover already uses — the generic MSM path at L=17..18
+        was the prover's dominant profile block (r3)."""
+        from ..ops import fixed_base as fb
+
+        batch = self.batch
+        all_pts = pv.pv_concat(
+            [pv.single(self.g), self.h_vec, self.h_vec_, self.g_vec, self.g_vec_]
+        )
+        F = pv.pv_len(all_pts)
+        z = lambda k: jnp.zeros((16, k) + batch, jnp.uint32)
+        segs, cur = [], 0
+        for pos, scs in sorted(parts, key=lambda p: p[0]):
+            if pos > cur:
+                segs.append(z(pos - cur))
+            segs.append(scs)
+            cur = pos + scs.shape[1]
+        if cur < F:
+            segs.append(z(F - cur))
+        tab = self.tables.get("full") if self.tables else None
+        return fb.msm_fixed_total(tab, all_pts, sv.sv_concat(segs))
+
     def commit_value(self, x, s) -> PointJ:
         """x*g + s*h_vec[0] (reciprocal.rs:88-90)."""
+        if self.tables is not None:
+            return self._fixed_commit([(0, x[:, None]), (1, s[:, None])])
         pts = pv.pv_concat([pv.single(self.g), PointJ(*(a[:, :1] for a in self.h_vec))])
         return pv.msm(pts, jnp.stack([x, s], axis=1))
 
     def commit_poles(self, r, s) -> PointJ:
         """s*h_vec[0] + <h_vec[9:], r> (reciprocal.rs:93-95)."""
+        if self.tables is not None:
+            # h_vec[0] is table pos 1; h_vec[9:] starts at pos 10
+            return self._fixed_commit([(1, s[:, None]), (10, r)])
         pts = pv.pv_concat(
             [
                 PointJ(*(a[:, :1] for a in self.h_vec)),
