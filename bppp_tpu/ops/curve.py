@@ -439,12 +439,18 @@ def _msm_small(points: PointJ, scalars) -> PointJ | None:
     prod = 1
     for d in batch:
         prod *= d
+    wnaf = (
+        os.environ.get("BPPP_WNAF", "1") != "0"
+        and os.environ.get("BPPP_GLV", "1") != "0"
+    )
     if (
         os.environ.get("BPPP_MSFT", "1") != "0"
         and prod >= pm.TILE
         and prod % pm.TILE == 0
     ):
-        tile, dmax = pm.TILE, pm.FT_DMAX
+        # signed-digit tables are 9/16 the VMEM: 5 points per full-tile
+        # call instead of 3 (fewer chunked walks for the verifier's L=5)
+        tile, dmax = pm.TILE, (pm.FT_DMAX_WNAF if wnaf else pm.FT_DMAX)
     elif prod >= pm.MS_TILE and prod % pm.MS_TILE == 0:
         tile, dmax = pm.MS_TILE, 6
     else:
@@ -480,6 +486,18 @@ def _msm_small_call(points: PointJ, kk, prod: int, tile: int) -> PointJ:
         from . import glv
 
         m1, n1, m2, n2 = glv.decompose(kk.reshape(16, L, prod))
+        if os.environ.get("BPPP_WNAF", "1") != "0":
+            # signed-window digits recoded on the graph side (the carry
+            # chain is sequential; in-kernel extraction can't have it);
+            # plane index = w*2L + j with halves interleaved per point
+            d1 = glv.wnaf_digits(m1, n1)  # (W, L, prod)
+            d2 = glv.wnaf_digits(m2, n2)
+            dig = jnp.stack([d1, d2], axis=2)  # (W, L, 2, prod)
+            dig = dig.reshape(glv.GLV_WINDOWS * 2 * L, prod)
+            outs = pm.msm_small_wnaf_flat(
+                re(points.x), re(points.y), re(points.z), dig, tile=tile
+            )
+            return PointJ(*outs)
         mags = jnp.moveaxis(
             jnp.stack([m1, m2], axis=2).reshape(16, 2 * L, prod), 1, 0
         )
@@ -640,7 +658,12 @@ def decompress_checked(b):
     ok = jnp.logical_or(
         is_id, jnp.logical_and(tag_ok, jnp.logical_and(x_canon, on_curve))
     )
-    return pt, ok
+    # the wire type is uint32: a non-normalized "byte" >= 256 would alias
+    # a different x under be_bytes_to_limbs and slip past x_canon (the
+    # limb compare assumes normalized 16-bit limbs) — reject it here so
+    # every encoding has exactly one accepted representation
+    bytes_ok = jnp.all(b <= 0xFF, axis=0)
+    return pt, jnp.logical_and(ok, bytes_ok)
 
 
 def pt_eq(p: PointJ, q: PointJ):

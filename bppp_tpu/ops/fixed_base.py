@@ -39,6 +39,50 @@ def msm_mixed(tables, fixed_points, fixed_scalars, dyn_points, dyn_scalars):
     return dc.msm_straus(pts, scs)
 
 
+def msm_fixed_positions(tables, points, positions, scalars):
+    """MSM over a static SUBSET of the fixed-generator table layout:
+    sum_j [scalars[:, j]] G_positions[j]. positions: tuple of static
+    table indices (len P, any order, no duplicates); scalars:
+    (16, P, *sbatch) in POSITION order; points: the FULL table-layout
+    generator set (coords (16, F, ...)), used by the fallback only.
+
+    The kernel's cost is F_walked x N_WINDOWS adds per lane, so walking
+    only the P live generators beats zero-padding into the full layout
+    whenever P < F — the prover's small commitments (commit_value: 2 of
+    49, C_O: 9, the per-round WNLA R: 25) spent most of their full-table
+    walks adding identity sentinels (r4 prover profile). Table rows are
+    gathered once per call (~P/F of the table bytes; HBM-trivial next to
+    the adds). Falls back to a Straus MSM over the subset points when
+    tables are absent or shapes don't tile."""
+    import numpy as np
+
+    from . import curve as dc
+
+    P = len(positions)
+    assert scalars.shape[1] == P
+    if tables is not None and dc._pallas_enabled():
+        from . import pallas_fixed_base as pfb
+
+        sub = jnp.take(tables, jnp.asarray(np.asarray(positions)), axis=1)
+        sbatch = scalars.shape[2:]
+        flat = scalars.reshape(16, P, -1)
+        s = pfb.msm_fixed_sum(sub, flat)
+        if s is not None:
+            return dc.PointJ(*(a.reshape((16,) + sbatch) for a in s))
+    sub_pts = dc.PointJ(
+        *(jnp.take(a, jnp.asarray(list(positions)), axis=1) for a in points)
+    )
+    sbatch = scalars.shape[2:]
+    pbatch = sub_pts.x.shape[2:]
+    extra = len(sbatch) - len(pbatch)
+    if extra:
+        idx = (slice(None), slice(None)) + (None,) * extra
+        sub_pts = dc.PointJ(
+            *(jnp.broadcast_to(a[idx], (16, P) + sbatch) for a in sub_pts)
+        )
+    return dc.msm_straus(sub_pts, scalars)
+
+
 def msm_fixed_total(tables, points, scalars):
     """Complete MSM sum_i [s_i] P_i over FIXED generators: rides the
     window tables when present and the flattened batch tiles; otherwise a

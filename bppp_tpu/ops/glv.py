@@ -87,6 +87,35 @@ def _pad16(a8):
     return jnp.pad(a8, cfg)
 
 
+def wnaf_digits(m, neg):
+    """Signed-window recoding of a GLV magnitude half: m (16, *batch)
+    canonical limbs < 2^131, neg (*batch,) bool (the half's overall GLV
+    sign) -> (GLV_WINDOWS, *batch) uint32 planes packing
+    |digit| (low 4 bits, 0..8) and the FINAL per-digit negate bit
+    (bit 4 = window_sign XOR neg).
+
+    Recoding d_w' = d_w + carry; if d_w' > 8 the digit becomes
+    d_w' - 16 (negative) and carries 1 — digits lie in [-7, 8], so the
+    kernel's per-point window table needs magnitudes 0..8 (9 entries)
+    instead of 0..15 (16): 44% less scoped VMEM and fewer
+    selection-mask adds. The final carry cannot escape: it would need
+    m >= 8*16^(GLV_WINDOWS-1) = 2^131, and |halves| < 2^129 + rounding
+    slack (see decompose). Sign handling rides the GLV kernel's
+    existing per-lane y-negation."""
+    carry = jnp.zeros(m.shape[1:], jnp.uint32)
+    negu = neg.astype(jnp.uint32)
+    planes = []
+    for w in range(GLV_WINDOWS):
+        raw = (m[w // 4] >> (4 * (w % 4))) & jnp.uint32(15)
+        d = raw + carry
+        over = d > 8
+        carry = over.astype(jnp.uint32)
+        mag = jnp.where(over, jnp.uint32(16) - d, d)
+        sign = carry ^ negu
+        planes.append(mag | (sign << 4))
+    return jnp.stack(planes, axis=0)
+
+
 def decompose(k):
     """k: canonical (16, *batch) F_n limbs ->
     (m1, neg1, m2, neg2): magnitudes (16, *batch) with only the low 9

@@ -539,6 +539,161 @@ def msm_small_glv_flat(px, py, pz, k, sg, tile=None):
     return _glv_prog(tile or MS_TILE)(px, py, pz, k, sg)
 
 
+# -- GLV + signed-window (wNAF) shared-window MSM ------------------------------
+
+def _msm_small_wnaf_kernel(
+    W, SUB, px, py, pz, dig_ref, ox, oy, oz, tabx, taby, tabz
+):
+    """Signed-window variant of _msm_small_glv_kernel: digits are
+    recoded on the graph side to [-7, 8] (glv.wnaf_digits), so each
+    point's in-VMEM table holds 9 magnitude entries ([0..8]P) instead of
+    16 — 44% less scoped VMEM (D=5 points fit one FULL-tile call where
+    the unsigned kernel capped at 3) and 9 selection-mask adds per
+    lookup instead of 16. The digit planes arrive PRE-PACKED
+    (mag | sign << 4, sign already XORed with the GLV half sign) as a
+    (W*D2, nb, SUB, 128) input — in-kernel extraction would need the
+    sequential carry chain. Negative digits negate the selected entry's
+    y per lane; phi halves (odd j) multiply the selected x by beta on
+    the fly. Incomplete adds stay sound by the same DLOG argument as
+    the unsigned kernel."""
+    D = px.shape[0]
+    D2 = 2 * D
+    T = SUB * 128
+    zero3 = jnp.zeros((16, SUB, 128), jnp.uint32)
+    one3 = jnp.pad(
+        jnp.ones((1, SUB, 128), jnp.uint32), [(0, 15), (0, 0), (0, 0)]
+    )
+    beta3 = pf._scalar_col([int(x) for x in _GLV_BETA16], (SUB, 128))
+
+    def ld_pt(i):
+        return (
+            px[i].reshape(16, SUB, 128),
+            py[i].reshape(16, SUB, 128),
+            pz[i].reshape(16, SUB, 128),
+        )
+
+    # tables: tab[i*9 + d] = [d] P_i, d = 0..8 (entry 2 = genuine double,
+    # 3..8 incomplete adds — [k]P + P, 2 <= k <= 7, cannot collide)
+    def tab_i(i, _):
+        X, Y, Z = ld_pt(i)
+        dx, dy, dz = pf.pt_dbl(X, Y, Z)
+        p_id = pf.is_zero(Z)
+        dx = pf.select(p_id, X, dx)
+        dy = pf.select(p_id, Y, dy)
+        dz = pf.select(p_id, Z, dz)
+        tabx[pl.ds(i * 9, 1)] = zero3.reshape(1, 16, T)
+        taby[pl.ds(i * 9, 1)] = one3.reshape(1, 16, T)
+        tabz[pl.ds(i * 9, 1)] = zero3.reshape(1, 16, T)
+        tabx[pl.ds(i * 9 + 1, 1)] = X.reshape(1, 16, T)
+        taby[pl.ds(i * 9 + 1, 1)] = Y.reshape(1, 16, T)
+        tabz[pl.ds(i * 9 + 1, 1)] = Z.reshape(1, 16, T)
+        tabx[pl.ds(i * 9 + 2, 1)] = dx.reshape(1, 16, T)
+        taby[pl.ds(i * 9 + 2, 1)] = dy.reshape(1, 16, T)
+        tabz[pl.ds(i * 9 + 2, 1)] = dz.reshape(1, 16, T)
+
+        def ent_body(d, _):
+            cx = tabx[i * 9 + d - 1].reshape(16, SUB, 128)
+            cy = taby[i * 9 + d - 1].reshape(16, SUB, 128)
+            cz = tabz[i * 9 + d - 1].reshape(16, SUB, 128)
+            nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
+            tabx[pl.ds(i * 9 + d, 1)] = nx.reshape(1, 16, T)
+            taby[pl.ds(i * 9 + d, 1)] = ny.reshape(1, 16, T)
+            tabz[pl.ds(i * 9 + d, 1)] = nz.reshape(1, 16, T)
+            return 0
+
+        jax.lax.fori_loop(3, 9, ent_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, D, tab_i, 0)
+
+    # window walk: 4 doubles + 2D masked adds per window
+    def walk(w, acc):
+        sx, sy, sz = acc
+
+        def dstep(_, st):
+            return pf.pt_dbl(*st)
+
+        sx, sy, sz = jax.lax.fori_loop(0, 4, dstep, (sx, sy, sz))
+
+        def add_j(j, st):
+            sx, sy, sz = st
+            i = j // 2
+            is_phi = (j % 2) == 1
+            plane = dig_ref[w * D2 + j, 0]  # (SUB, 128) packed digit
+            mag = plane & jnp.uint32(15)
+            neg = (plane >> 4) != 0
+            ents_x = tabx[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
+            ents_y = taby[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
+            ents_z = tabz[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
+            qx = _tab_select(ents_x, mag)
+            qy = _tab_select(ents_y, mag)
+            qz = _tab_select(ents_z, mag)
+            qx = jnp.where(is_phi, pf.mul_p(qx, beta3), qx)
+            qy = pf.select(neg, pf.sub_p(jnp.zeros_like(qy), qy), qy)
+            return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
+
+        return jax.lax.fori_loop(0, D2, add_j, (sx, sy, sz))
+
+    sx, sy, sz = jax.lax.fori_loop(0, W, walk, (zero3, one3, zero3))
+    ox[:] = sx.reshape(16, T)
+    oy[:] = sy.reshape(16, T)
+    oz[:] = sz.reshape(16, T)
+
+
+# wNAF full-tile point cap: tables are 3 coords x 9 ents x 16 limbs x
+# tile x 4 B = 1.73 MB/point at tile=1024; D=5 -> 8.6 MB tables
+# + 1.35 MB digit planes + 1.2 MB point inputs, inside the 16 MB scoped
+# budget with headroom (check this arithmetic BEFORE growing D or TILE).
+FT_DMAX_WNAF = 5
+
+
+@functools.lru_cache(maxsize=None)
+def _wnaf_prog(tile):
+    W = _glv_windows()
+    sub = tile // 128
+    body = functools.partial(_msm_small_wnaf_kernel, W, sub)
+
+    @jax.jit
+    def run(px, py, pz, dig):
+        D, _, B = px.shape
+        D2 = 2 * D
+        nb = B // tile
+        spec_pt = pl.BlockSpec(
+            (D, 16, tile), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        )
+        spec_dig = pl.BlockSpec(
+            (W * D2, 1, sub, 128), lambda t: (0, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_out = pl.BlockSpec(
+            (16, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+        )
+        out = jax.ShapeDtypeStruct((16, B), jnp.uint32)
+        return pl.pallas_call(
+            body,
+            grid=(nb,),
+            in_specs=[spec_pt] * 3 + [spec_dig],
+            out_specs=[spec_out] * 3,
+            out_shape=[out] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
+            ],
+            interpret=INTERPRET(),
+        )(px, py, pz, dig.reshape(W * D2, nb, sub, 128))
+
+    return run
+
+
+def msm_small_wnaf_flat(px, py, pz, dig, tile=None):
+    """(D,16,B) coords, (W*2D, B) packed signed-digit planes
+    (glv.wnaf_digits order: plane index = w*2D + j, halves interleaved
+    k1,k2 per point) -> 3x (16,B). tile: lane-tile size (default
+    MS_TILE; TILE for D <= FT_DMAX_WNAF)."""
+    return _wnaf_prog(tile or MS_TILE)(px, py, pz, dig)
+
+
 # -- fused reduction over a points axis ---------------------------------------
 
 def _tree_kernel(L: int, px, py, pz, ox, oy, oz):

@@ -156,24 +156,21 @@ class ArithmeticCircuitDevice:
     def commit(self, v, s) -> PointJ:
         """C = v[0]*g + s*h_vec[0] + <h_vec[9:], v[1:]>.
         v: (16, nv, *b), s: (16, *b). With window tables present the
-        scalars zero-pad into the full fixed-generator layout and ride
-        the fixed-base kernel (the generic L=18 MSM path dominated the
-        prover profile in r3); zero scalars select the identity
-        sentinel."""
+        kernel walks only the nv+1 live table positions (the generic
+        L=18 MSM path dominated the prover profile in r3; the r3
+        zero-padded full-table walk wasted 31 of 49 generator passes)."""
         nv1 = v.shape[1] - 1
         if self.tables is not None and pv.pv_len(self.h_vec) >= 9 + nv1:
             from ..ops import fixed_base as fb
 
-            batch = self.batch
             all_pts = pv.pv_concat(
                 [pv.single(self.g), self.h_vec, self.h_vec_, self.g_vec, self.g_vec_]
             )
-            F = pv.pv_len(all_pts)
-            z = lambda k: jnp.zeros((16, k) + batch, jnp.uint32)
-            scal = sv.sv_concat(
-                [v[:, :1], s[:, None], z(8), v[:, 1:], z(F - 10 - nv1)]
+            positions = (0, 1) + tuple(range(10, 10 + nv1))
+            scal = sv.sv_concat([v[:, :1], s[:, None], v[:, 1:]])
+            return fb.msm_fixed_positions(
+                self.tables.get("full"), all_pts, positions, scal
             )
-            return fb.msm_fixed_total(self.tables.get("full"), all_pts, scal)
         pts = pv.pv_concat(
             [
                 pv.single(self.g),
@@ -314,6 +311,12 @@ class ArithmeticCircuitDevice:
             all_scs = sv.sv_concat([fold_scs, tau3[:, None]])
             commitment = dc.pt_add(pt, pv.msm(fold_pts, all_scs))
 
+        # WNLA fast-path contract: the padded generator totals
+        # (|h_vec|+|h_vec_|, |g_vec|+|g_vec_|) should be divisible by
+        # 2^num_rounds — true for the u64 dims (32, 16) and any
+        # power-of-two circuit. Odd sizes still verify correctly but
+        # fall back to the ~10x-slower mirror verifier (a trace-time
+        # warning names the cost; see WNLADevice.verify_fast).
         wnla = WNLADevice(
             g=self.g,
             g_vec=pv.pv_concat([self.g_vec, self.g_vec_]),
@@ -348,10 +351,12 @@ class ArithmeticCircuitDevice:
 
         # Every prover commitment is an MSM over the FIXED generator set
         # [g | h_vec+h_vec_ | g_vec+g_vec_] (the 'full' window-table
-        # layout): scalars are zero-padded into that layout so C_O/C_L/
-        # C_R/C_S and the WNLA input commitment all ride the precomputed
-        # tables instead of per-lane ladders (zero scalars select the
-        # identity sentinel). The reference computes each with a naive
+        # layout), and the kernel walks ONLY each commitment's live
+        # positions (msm_fixed_positions): C_O touches 7 of 49 table rows
+        # for the u64 circuit (blind lanes minus fixed zeros; l_O/n_O are
+        # empty under the reciprocal partition), C_R 21, C_L 38 — the r3
+        # zero-padded full-table embedding spent 2.2x those adds on
+        # identity sentinels. The reference computes each with a naive
         # per-term MSM (circuit.rs:300-320, util.rs:46-60).
         from ..ops import fixed_base as fb
 
@@ -362,29 +367,52 @@ class ArithmeticCircuitDevice:
             [pv.single(self.g), hv, self.h_vec_, gv, self.g_vec_]
         )
         tab = self.tables.get("full") if self.tables else None
-        zero1 = jnp.zeros((16, 1) + batch, jnp.uint32)
+        g_base = 1 + full_h
 
-        def full_scalars(g_s, h_s, n_s):
-            return sv.sv_concat(
-                [
-                    g_s if g_s is not None else zero1,
-                    sv.sv_pad(h_s, full_h),
-                    sv.sv_pad(n_s, full_g),
-                ]
+        def part_slots(typ, size):
+            return tuple(
+                j for j in range(size) if self.partition(typ, j) is not None
             )
 
-        # C_O / C_L / C_R — stacked on one extra batch axis: ONE fixed MSM.
-        trip = jnp.stack(
-            [
-                full_scalars(None, sv.sv_concat([r_, l_]), n_)
-                for r_, l_, n_ in ((ro, lo, no), (rl, ll, nl_), (rr, lr, nr_))
-            ],
-            axis=2,
-        )  # (16, 1+full_h+full_g, 3, *b)
-        colr = fb.msm_fixed_total(tab, all_pts, trip)
-        c_o = PointJ(*(a[:, 0] for a in colr))
-        c_l = PointJ(*(a[:, 1] for a in colr))
-        c_r = PointJ(*(a[:, 2] for a in colr))
+        def sub_commit(r_, r_zeros, l_, l_slots, n_, n_slots):
+            """<h[0:9], r_> + <h[9+l_slots], l_> + <g[n_slots], n_> with
+            the statically-zero lanes dropped from the walk."""
+            r_live = tuple(j for j in range(9) if j not in r_zeros)
+            positions = (
+                tuple(1 + j for j in r_live)
+                + tuple(10 + j for j in l_slots)
+                + tuple(g_base + j for j in n_slots)
+            )
+            scal = jnp.concatenate(
+                [
+                    jnp.stack([r_[:, j] for j in r_live], axis=1),
+                    jnp.stack([l_[:, j] for j in l_slots], axis=1)
+                    if l_slots
+                    else jnp.zeros((16, 0) + batch, jnp.uint32),
+                    jnp.stack([n_[:, j] for j in n_slots], axis=1)
+                    if n_slots
+                    else jnp.zeros((16, 0) + batch, jnp.uint32),
+                ],
+                axis=1,
+            )
+            return fb.msm_fixed_positions(tab, all_pts, positions, scal)
+
+        all_nm = tuple(range(self.dim_nm))
+        c_o = sub_commit(
+            ro, _RO_ZEROS,
+            lo, part_slots(PartitionType.LO, self.dim_nv),
+            no, part_slots(PartitionType.NO, self.dim_nm),
+        )
+        c_l = sub_commit(
+            rl, _RL_ZEROS,
+            ll, part_slots(PartitionType.LL, self.dim_nv),
+            nl_, all_nm,
+        )
+        c_r = sub_commit(
+            rr, _RR_ZEROS,
+            lr, part_slots(PartitionType.LR, self.dim_nv),
+            nr_, all_nm,
+        )
 
         three = pv.pv_concat([pv.single(c_l), pv.single(c_r), pv.single(c_o)])
         byts = dc.compress(three)
@@ -520,9 +548,15 @@ class ArithmeticCircuitDevice:
             axis=1,
         )  # (16, 9, *b)
 
+        # C_S: every blind lane of rs is live; skip only the h_vec_ pad
+        # positions and the unused g position 0
         cs_scalars = sv.sv_concat([rs, ls])
-        c_s = fb.msm_fixed_total(
-            tab, all_pts, full_scalars(None, cs_scalars, ns)
+        nh_live = 9 + self.dim_nv
+        cs_pos = tuple(range(1, 1 + nh_live)) + tuple(
+            g_base + j for j in range(self.dim_nm)
+        )
+        c_s = fb.msm_fixed_positions(
+            tab, all_pts, cs_pos, sv.sv_concat([cs_scalars, ns])
         )
         t.append_message(b"commitment_cs", dc.compress(c_s))
 
@@ -558,9 +592,19 @@ class ArithmeticCircuitDevice:
             c_lL, c_lR, c_lO, lam, mu, tau, tau_inv, tau2, tau3, beta, delta_inv, two
         )
 
+        # WNLA input commitment: l_vec spans h 1..nh_live and n_vec all
+        # of g — only the h_vec_ pad positions drop out of the walk
         v_scalar = A(ps_tau, M(tau3, v_0))
-        commitment = fb.msm_fixed_total(
-            tab, all_pts, full_scalars(v_scalar[:, None], l_vec, n_vec)
+        com_pos = (
+            (0,)
+            + tuple(range(1, 1 + l_vec.shape[1]))
+            + tuple(g_base + j for j in range(n_vec.shape[1]))
+        )
+        commitment = fb.msm_fixed_positions(
+            tab,
+            all_pts,
+            com_pos,
+            sv.sv_concat([v_scalar[:, None], l_vec, n_vec]),
         )
 
         wnla = WNLADevice(

@@ -78,31 +78,27 @@ class ReciprocalRangeProofDevice:
         self.batch = g.x.shape[1:]
 
     def _fixed_commit(self, parts) -> PointJ:
-        """MSM over the FULL fixed-generator table layout
-        [g | h_vec | h_vec_ | g_vec | g_vec_] with zero-padded scalars:
-        parts = [(table_pos, (16, k, *b) scalars)], static positions.
-        Zero scalars select the identity sentinel, so embedding a tiny
-        commitment costs one pass of the same fixed-base kernel the rest
-        of the prover already uses — the generic MSM path at L=17..18
-        was the prover's dominant profile block (r3)."""
+        """MSM over a static-position SUBSET of the fixed-generator table
+        layout [g | h_vec | h_vec_ | g_vec | g_vec_]: parts =
+        [(table_pos, (16, k, *b) scalars)], static positions. The kernel
+        walks ONLY the live generators (commit_value touches 2 of 49,
+        commit_poles 17) — the r3 zero-padded full-table embedding spent
+        most of each walk adding identity sentinels, and before that the
+        generic MSM path at L=17..18 was the prover's dominant profile
+        block."""
         from ..ops import fixed_base as fb
 
-        batch = self.batch
         all_pts = pv.pv_concat(
             [pv.single(self.g), self.h_vec, self.h_vec_, self.g_vec, self.g_vec_]
         )
-        F = pv.pv_len(all_pts)
-        z = lambda k: jnp.zeros((16, k) + batch, jnp.uint32)
-        segs, cur = [], 0
+        positions, segs = [], []
         for pos, scs in sorted(parts, key=lambda p: p[0]):
-            if pos > cur:
-                segs.append(z(pos - cur))
+            positions.extend(range(pos, pos + scs.shape[1]))
             segs.append(scs)
-            cur = pos + scs.shape[1]
-        if cur < F:
-            segs.append(z(F - cur))
         tab = self.tables.get("full") if self.tables else None
-        return fb.msm_fixed_total(tab, all_pts, sv.sv_concat(segs))
+        return fb.msm_fixed_positions(
+            tab, all_pts, tuple(positions), sv.sv_concat(segs)
+        )
 
     def commit_value(self, x, s) -> PointJ:
         """x*g + s*h_vec[0] (reciprocal.rs:88-90)."""
@@ -157,6 +153,12 @@ class ReciprocalRangeProofDevice:
         # deserialize; raw bytes reach this path without the host layer)
         wire_ok = jnp.all(pt_ok, axis=0)
         for sc in (cp.wnla.l, cp.wnla.n):
+            # limbs_lt_const assumes normalized 16-bit limbs, but the
+            # wire type is uint32 — a non-normalized encoding (e.g.
+            # limb[0]+=2^16, limb[1]-=1) is the same integer yet a
+            # different byte string, so it must be rejected to keep the
+            # encoding non-malleable (ADVICE r3)
+            wire_ok = jnp.logical_and(wire_ok, jnp.all(sc >> 16 == 0, axis=(0, 1)))
             wire_ok = jnp.logical_and(
                 wire_ok, jnp.all(f.limbs_lt_const(sc, f.N_INT), axis=0)
             )

@@ -127,6 +127,18 @@ class WNLADevice:
         K = num_rounds(lh, lg)
         if K > 0 and lh % (1 << K) == 0 and lg % (1 << K) == 0:
             return self._prove_fast(commitment, t, l, n, K)
+        if K > 0:
+            # transcript-identical, so this is silent-correct — but ~10x
+            # slower (per-round folded-generator ladders instead of one
+            # fixed-base MSM per round). Surface it at trace time.
+            import warnings
+
+            warnings.warn(
+                f"WNLA prove: |h|={lh}, |g|={lg} not divisible by 2^K="
+                f"{1 << K}; using the mirror prover (~10x slower). Pad "
+                "the instance to power-of-two sizes for the fast path.",
+                stacklevel=2,
+            )
 
         # One batched inversion pair; per-level inverses chain by squaring.
         inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
@@ -211,19 +223,40 @@ class WNLADevice:
                     sv.sv_scale(n1, rho_k), sv.sv_scale(n0, rho_inv)
                 ),
             )
-            rh = sv.sv_tensor(w_h, sv.sv_interleave(jnp.zeros_like(l1), l1))
-            rg = sv.sv_tensor(w_g, sv.sv_interleave(jnp.zeros_like(n1), n1))
-            # X and R stacked on one extra batch axis -> ONE fixed MSM
-            scal = jnp.stack(
-                [
-                    sv.sv_concat([vx[:, None], xh, xg]),
-                    sv.sv_concat([vr[:, None], rh, rg]),
-                ],
-                axis=2,
-            )  # (16, 1+lh+lg, 2, *batch)
-            xr = fb.msm_fixed_total(self.tables, all_pts, scal)
-            x_pt = PointJ(*(a[:, 0] for a in xr))
-            r_pt = PointJ(*(a[:, 1] for a in xr))
+            # X is dense over every table position; R's kron coefficients
+            # are zero at every even inner-interleave position
+            # (wnla.rs:157-160: R only touches the odd halves), so its
+            # walk covers 1 + lh/2 + lg/2 positions instead of 1+lh+lg —
+            # the r3 stacked X|R call paid the full walk twice.
+            x_pt = fb.msm_fixed_total(
+                self.tables, all_pts, sv.sv_concat([vx[:, None], xh, xg])
+            )
+            # sv_tensor(a, b)[:, j*La + i] = a_i * b_j (b is the OUTER
+            # axis), so the zero coefficients sit at even j: position
+            # p = (2t+1)*2^k + i is live, ordered (t outer, i inner) —
+            # exactly sv_tensor(w, odd_half)'s layout.
+            K_ = 1 << k
+            r_pos = (
+                (0,)
+                + tuple(
+                    1 + (2 * t + 1) * K_ + i
+                    for t in range(l1.shape[1])
+                    for i in range(K_)
+                )
+                + tuple(
+                    1 + lh + (2 * t + 1) * K_ + i
+                    for t in range(n1.shape[1])
+                    for i in range(K_)
+                )
+            )
+            rh = sv.sv_tensor(w_h, l1)
+            rg = sv.sv_tensor(w_g, n1)
+            r_pt = fb.msm_fixed_positions(
+                self.tables,
+                all_pts,
+                r_pos,
+                sv.sv_concat([vr[:, None], rh, rg]),
+            )
             xs.append(x_pt)
             rs.append(r_pt)
 
@@ -325,7 +358,18 @@ class WNLADevice:
         if K == 0:
             return self.verify(commitment, t, proof, xr=xr)
         M = 1 << K
-        assert lh % M == 0 and lg % M == 0, "fast path needs 2^K-divisible sizes"
+        if lh % M != 0 or lg % M != 0:
+            # transcript-identical mirror verifier accepts exactly the
+            # same proofs — correctness is preserved, only speed differs
+            import warnings
+
+            warnings.warn(
+                f"WNLA verify_fast: |h|={lh}, |g|={lg} not divisible by "
+                f"2^K={M}; falling back to the mirror verifier (~10x "
+                "slower). Pad the instance to power-of-two sizes.",
+                stacklevel=2,
+            )
+            return self.verify(commitment, t, proof, xr=xr)
         assert proof.r.shape[1] == K and proof.x.shape[1] == K
         assert proof.l.shape[1] == lh // M and proof.n.shape[1] == lg // M
 

@@ -204,3 +204,27 @@ def test_device_u64_verify_malformed_bytes(fixture):
         b[:, 1] = rng.integers(0, 256, size=33)
         garb[name] = b
     expect(pb._replace(circuit=pb.circuit._replace(**garb)), [True, False])
+
+    # NON-NORMALIZED scalar limbs (ADVICE r3): limb[i] -= 1 and
+    # limb[i-1] += 2^16 encode the SAME integer in the uint32 wire type,
+    # so the proof would verify — but it is a second byte encoding of
+    # one proof (malleability); the wire_ok normalization mask must
+    # reject it.
+    bad_l = np.asarray(pb.circuit.wnla.l).copy()
+    i = next(j for j in range(1, 16) if bad_l[j, 0, 0] >= 1)
+    bad_l[i, 0, 0] -= 1
+    bad_l[i - 1, 0, 0] += 1 << 16
+    expect(
+        pb._replace(circuit=pb.circuit._replace(wnla=pb.circuit.wnla._replace(l=bad_l))),
+        [False, True],
+    )
+
+    # NON-NORMALIZED point byte: hi_byte -= 1 / lo_byte += 256 of one
+    # 16-bit limb pair aliases the same x in be_bytes_to_limbs — a
+    # second encoding of the same point; decompress_checked's byte-range
+    # mask must reject it.
+    bad = np.asarray(pb.r).copy()
+    k = next(j for j in range(1, 32, 2) if bad[j, 0] >= 1)
+    bad[k, 0] -= 1
+    bad[k + 1, 0] += 256
+    expect(pb._replace(r=bad), [False, True])

@@ -102,11 +102,17 @@ def test_pt_eq_mask():
     assert m.tolist() == [True, False, True, False]
 
 
-@pytest.mark.parametrize("L", [16, 64])
+@pytest.mark.parametrize("L", [16, 64, 256])
 def test_msm_pippenger_vs_oracle(L):
     """Bucketed Pippenger (ops/pippenger.py, the L > 6 msm dispatch)
     vs the oracle, with edge lanes: identity point, zero scalar,
-    duplicate points (prefix-scan doubling collisions), batch B=2."""
+    duplicate points (prefix-scan doubling collisions), batch B=2.
+    L=256 takes the c=8 window branch (_pick_c: L > 112) — the
+    per_limb=2 digit extraction and 255-entry boundary gather
+    (VERDICT r3 weak #1)."""
+    from bppp_tpu.ops.pippenger import _pick_c
+
+    assert _pick_c(L) == (8 if L > 112 else 4)
     B = 2
     pts = rand_points(L - 3) + [ocurve.IDENTITY]
     pts += [pts[0], pts[0]]  # duplicates: complete-add path in the scan
@@ -122,6 +128,25 @@ def test_msm_pippenger_vs_oracle(L):
     for lane in range(B):
         got = jc.to_int_points(jc.PointJ(*(c[..., lane] for c in out)))[0]
         assert got.eq(want), f"lane {lane}"
+
+
+def test_msm_pippenger_c8_explicit_small():
+    """The c=8 window path at a small, fast-to-compile L: same math as
+    the L=256 dispatch case but cheap enough to debug in isolation."""
+    from bppp_tpu.ops.pippenger import msm_pippenger
+
+    L = 8
+    pts = rand_points(L - 1) + [ocurve.IDENTITY]
+    ks = [rand_scalar() for _ in range(L - 1)] + [rand_scalar()]
+    P = as_pointj(pts)
+    K = jnp.asarray(jf.ints_to_limbs(ks))
+    out = jax.jit(lambda p, k: msm_pippenger(p, k, c=8))(P, K)
+    want = ocurve.IDENTITY
+    for p, k in zip(pts, ks):
+        want = want.add(p.mul(k))
+    # out has no batch axis: coords (16,) -> add a length-1 lane axis
+    got = jc.to_int_points(jc.PointJ(*(c[:, None] for c in out)))[0]
+    assert got.eq(want)
 
 
 def test_decompress_checked_masks():

@@ -56,9 +56,24 @@ def device_ms(fn, *args):
             for line in plane.lines:
                 if line.name != "XLA Ops":
                     continue
+                # merge intervals per line: concurrently scheduled ops
+                # must count busy time once, or the A/B 'total' overstates
+                # whichever config overlaps more work (ADVICE r3)
+                ivals = []
                 for ev in line.events:
                     best = max(best, ev.duration_ns)
-                    total += ev.duration_ns
+                    ivals.append((ev.start_ns, ev.start_ns + ev.duration_ns))
+                ivals.sort()
+                cur_s = cur_e = None
+                for s, e in ivals:
+                    if cur_e is None or s > cur_e:
+                        if cur_e is not None:
+                            total += cur_e - cur_s
+                        cur_s, cur_e = s, e
+                    else:
+                        cur_e = max(cur_e, e)
+                if cur_e is not None:
+                    total += cur_e - cur_s
     return total / 1e6, best / 1e6
 
 
