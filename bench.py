@@ -35,7 +35,9 @@ def _env_tag() -> str:
     fbw = os.environ.get("BPPP_FBW", "8")
     cs = os.environ.get("BPPP_COLSUM", "seq")
     fbsel = os.environ.get("BPPP_FBSEL", "mx")
+    wnaf = os.environ.get("BPPP_WNAF", "1")
     tag = f"_s{sub}" + ("" if glv != "0" else "_noglv")
+    tag += "" if wnaf != "0" else "_nownaf"
     tag += "" if fbw == "8" else f"_w{fbw}"
     tag += "" if fbsel == "mx" else f"_f{fbsel}"
     return tag + ("" if cs == "seq" else f"_c{cs}")

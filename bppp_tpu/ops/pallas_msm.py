@@ -541,21 +541,38 @@ def msm_small_glv_flat(px, py, pz, k, sg, tile=None):
 
 # -- GLV + signed-window (wNAF) shared-window MSM ------------------------------
 
+def _tab_select1(tab, d):
+    """Like _tab_select but entry e holds element e+1 and d == 0 selects
+    the all-zero element ((0,0,0) has z = 0, which every masked add
+    treats as the identity) — the identity row never hits VMEM."""
+    acc = jnp.zeros_like(tab[0])
+    for ent in range(tab.shape[0]):
+        m = d == (ent + 1)
+        acc = acc + jnp.where(m, tab[ent], 0)
+    return acc
+
+
 def _msm_small_wnaf_kernel(
     W, SUB, px, py, pz, dig_ref, ox, oy, oz, tabx, taby, tabz
 ):
     """Signed-window variant of _msm_small_glv_kernel: digits are
     recoded on the graph side to [-7, 8] (glv.wnaf_digits), so each
-    point's in-VMEM table holds 9 magnitude entries ([0..8]P) instead of
-    16 — 44% less scoped VMEM (D=5 points fit one FULL-tile call where
-    the unsigned kernel capped at 3) and 9 selection-mask adds per
-    lookup instead of 16. The digit planes arrive PRE-PACKED
-    (mag | sign << 4, sign already XORed with the GLV half sign) as a
-    (W*D2, nb, SUB, 128) input — in-kernel extraction would need the
-    sequential carry chain. Negative digits negate the selected entry's
-    y per lane; phi halves (odd j) multiply the selected x by beta on
-    the fly. Incomplete adds stay sound by the same DLOG argument as
-    the unsigned kernel."""
+    point's in-VMEM table holds EIGHT magnitude entries ([1..8]P;
+    magnitude 0 selects an all-zero q whose z = 0 is the add's identity
+    mask) instead of 16 — half the scoped VMEM (D=5 points fit one
+    FULL-tile call where the unsigned kernel capped at 3) and 8
+    selection-mask adds per lookup instead of 16. The per-point stride
+    of 8 is ALSO the Mosaic alignment contract: dynamic multi-row
+    VMEM reads/writes must sit at provably 8-aligned offsets (the first
+    cut used 9-entry tables — interpret mode passed, hardware returned
+    garbage on every lane; same trap class as the r1 GLV digit
+    scratch). The digit planes arrive PRE-PACKED (mag | sign << 4, sign
+    already XORed with the GLV half sign) as a (W*D2, nb, SUB, 128)
+    input — in-kernel extraction would need the sequential recode
+    carry. Negative digits negate the selected entry's y per lane; phi
+    halves (odd j) multiply the selected x by beta on the fly.
+    Incomplete adds stay sound by the same DLOG argument as the
+    unsigned kernel."""
     D = px.shape[0]
     D2 = 2 * D
     T = SUB * 128
@@ -572,8 +589,9 @@ def _msm_small_wnaf_kernel(
             pz[i].reshape(16, SUB, 128),
         )
 
-    # tables: tab[i*9 + d] = [d] P_i, d = 0..8 (entry 2 = genuine double,
-    # 3..8 incomplete adds — [k]P + P, 2 <= k <= 7, cannot collide)
+    # tables: tab[i*8 + d - 1] = [d] P_i, d = 1..8 (entry for 2 is a
+    # genuine double; 3..8 incomplete adds — [k]P + P, 2 <= k <= 7,
+    # cannot collide on a prime-order curve)
     def tab_i(i, _):
         X, Y, Z = ld_pt(i)
         dx, dy, dz = pf.pt_dbl(X, Y, Z)
@@ -581,24 +599,21 @@ def _msm_small_wnaf_kernel(
         dx = pf.select(p_id, X, dx)
         dy = pf.select(p_id, Y, dy)
         dz = pf.select(p_id, Z, dz)
-        tabx[pl.ds(i * 9, 1)] = zero3.reshape(1, 16, T)
-        taby[pl.ds(i * 9, 1)] = one3.reshape(1, 16, T)
-        tabz[pl.ds(i * 9, 1)] = zero3.reshape(1, 16, T)
-        tabx[pl.ds(i * 9 + 1, 1)] = X.reshape(1, 16, T)
-        taby[pl.ds(i * 9 + 1, 1)] = Y.reshape(1, 16, T)
-        tabz[pl.ds(i * 9 + 1, 1)] = Z.reshape(1, 16, T)
-        tabx[pl.ds(i * 9 + 2, 1)] = dx.reshape(1, 16, T)
-        taby[pl.ds(i * 9 + 2, 1)] = dy.reshape(1, 16, T)
-        tabz[pl.ds(i * 9 + 2, 1)] = dz.reshape(1, 16, T)
+        tabx[pl.ds(i * 8, 1)] = X.reshape(1, 16, T)
+        taby[pl.ds(i * 8, 1)] = Y.reshape(1, 16, T)
+        tabz[pl.ds(i * 8, 1)] = Z.reshape(1, 16, T)
+        tabx[pl.ds(i * 8 + 1, 1)] = dx.reshape(1, 16, T)
+        taby[pl.ds(i * 8 + 1, 1)] = dy.reshape(1, 16, T)
+        tabz[pl.ds(i * 8 + 1, 1)] = dz.reshape(1, 16, T)
 
         def ent_body(d, _):
-            cx = tabx[i * 9 + d - 1].reshape(16, SUB, 128)
-            cy = taby[i * 9 + d - 1].reshape(16, SUB, 128)
-            cz = tabz[i * 9 + d - 1].reshape(16, SUB, 128)
+            cx = tabx[i * 8 + d - 2].reshape(16, SUB, 128)
+            cy = taby[i * 8 + d - 2].reshape(16, SUB, 128)
+            cz = tabz[i * 8 + d - 2].reshape(16, SUB, 128)
             nx, ny, nz = pf.pt_add_inc(cx, cy, cz, X, Y, Z)
-            tabx[pl.ds(i * 9 + d, 1)] = nx.reshape(1, 16, T)
-            taby[pl.ds(i * 9 + d, 1)] = ny.reshape(1, 16, T)
-            tabz[pl.ds(i * 9 + d, 1)] = nz.reshape(1, 16, T)
+            tabx[pl.ds(i * 8 + d - 1, 1)] = nx.reshape(1, 16, T)
+            taby[pl.ds(i * 8 + d - 1, 1)] = ny.reshape(1, 16, T)
+            tabz[pl.ds(i * 8 + d - 1, 1)] = nz.reshape(1, 16, T)
             return 0
 
         jax.lax.fori_loop(3, 9, ent_body, 0)
@@ -619,15 +634,17 @@ def _msm_small_wnaf_kernel(
             sx, sy, sz = st
             i = j // 2
             is_phi = (j % 2) == 1
-            plane = dig_ref[w * D2 + j, 0]  # (SUB, 128) packed digit
+            # MSB-first walk over LSB-first planes (glv.wnaf_digits
+            # emits window 0 first); (SUB, 128) packed digit
+            plane = dig_ref[(W - 1 - w) * D2 + j, 0]
             mag = plane & jnp.uint32(15)
             neg = (plane >> 4) != 0
-            ents_x = tabx[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
-            ents_y = taby[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
-            ents_z = tabz[pl.ds(i * 9, 9)].reshape(9, 16, SUB, 128)
-            qx = _tab_select(ents_x, mag)
-            qy = _tab_select(ents_y, mag)
-            qz = _tab_select(ents_z, mag)
+            ents_x = tabx[pl.ds(i * 8, 8)].reshape(8, 16, SUB, 128)
+            ents_y = taby[pl.ds(i * 8, 8)].reshape(8, 16, SUB, 128)
+            ents_z = tabz[pl.ds(i * 8, 8)].reshape(8, 16, SUB, 128)
+            qx = _tab_select1(ents_x, mag)
+            qy = _tab_select1(ents_y, mag)
+            qz = _tab_select1(ents_z, mag)
             qx = jnp.where(is_phi, pf.mul_p(qx, beta3), qx)
             qy = pf.select(neg, pf.sub_p(jnp.zeros_like(qy), qy), qy)
             return pf.pt_add_inc(sx, sy, sz, qx, qy, qz)
@@ -640,8 +657,8 @@ def _msm_small_wnaf_kernel(
     oz[:] = sz.reshape(16, T)
 
 
-# wNAF full-tile point cap: tables are 3 coords x 9 ents x 16 limbs x
-# tile x 4 B = 1.73 MB/point at tile=1024; D=5 -> 8.6 MB tables
+# wNAF full-tile point cap: tables are 3 coords x 8 ents x 16 limbs x
+# tile x 4 B = 1.57 MB/point at tile=1024; D=5 -> 7.9 MB tables
 # + 1.35 MB digit planes + 1.2 MB point inputs, inside the 16 MB scoped
 # budget with headroom (check this arithmetic BEFORE growing D or TILE).
 FT_DMAX_WNAF = 5
@@ -676,9 +693,9 @@ def _wnaf_prog(tile):
             out_specs=[spec_out] * 3,
             out_shape=[out] * 3,
             scratch_shapes=[
-                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
-                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
-                pltpu.VMEM((D * 9, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 8, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 8, 16, tile), jnp.uint32),
+                pltpu.VMEM((D * 8, 16, tile), jnp.uint32),
             ],
             interpret=INTERPRET(),
         )(px, py, pz, dig.reshape(W * D2, nb, sub, 128))

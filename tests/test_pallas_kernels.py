@@ -188,10 +188,78 @@ def test_msm_small_glv_kernel_vs_oracle(rng):
         assert got[p].eq(want), f"lane {p}"
 
 
-def test_msm_dispatch_glv_vs_oracle(rng, monkeypatch):
+def test_msm_small_wnaf_kernel_vs_oracle(rng):
+    """Signed-digit (wNAF) GLV MSM kernel — 8-entry stride-8 tables,
+    graph-side digit recode, LSB-first planes under the MSB-first walk —
+    vs the oracle, with identity point and zero/one/lambda/n-1 scalar
+    edge lanes (the digit planes of n-1 and lambda exercise both-half
+    negation and carries)."""
+    import jax
+
+    from bppp_tpu.ops import glv
+
+    D, B = 3, TILE
+    rows = [_rand_points(rng, B) for _ in range(D)]
+    rows[1][0] = oc.IDENTITY
+    ks = [_rand_wide(rng, of.N, B) for _ in range(D)]
+    ks[0][1] = 0
+    ks[2][2] = 1
+    ks[0][3] = glv.LAMBDA
+    ks[1][4] = of.N - 1
+    px = jnp.stack([_flat_points(r)[0] for r in rows], axis=0)
+    py = jnp.stack([_flat_points(r)[1] for r in rows], axis=0)
+    pz = jnp.stack([_flat_points(r)[2] for r in rows], axis=0)
+    kk = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=0)
+
+    def digits(kk):
+        m1, n1, m2, n2 = glv.decompose(jnp.moveaxis(kk, 0, 1))
+        d1 = glv.wnaf_digits(m1, n1)
+        d2 = glv.wnaf_digits(m2, n2)
+        return jnp.stack([d1, d2], axis=2).reshape(glv.GLV_WINDOWS * 2 * D, B)
+
+    dig = jax.jit(digits)(kk)
+    ox, oy, oz = pm.msm_small_wnaf_flat(px, py, pz, dig)
+    got = _to_points(ox, oy, oz)
+    for p in [0, 1, 2, 3, 4, 100, 511]:
+        want = oc.IDENTITY
+        for i in range(D):
+            want = want.add(rows[i][p].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
+def test_msm_fixed_positions_vs_oracle(rng):
+    """msm_fixed_positions: the kernel walks a static SUBSET of the
+    table rows (the prover's live-position MSMs) — table gather +
+    position-order scalars vs the oracle."""
+    import jax
+
+    from bppp_tpu.ops import curve as dc
+    from bppp_tpu.ops import fixed_base as dfb
+    from bppp_tpu.ops import pallas_fixed_base as fb
+
+    F, B = 5, TILE
+    base_pts = _rand_points(rng, F)
+    pts = dc.from_int_points(base_pts)
+    tables = jax.jit(fb.build_tables)(pts)
+    positions = (0, 2, 4)
+    ks = [_rand_wide(rng, of.N, B) for _ in positions]
+    ks[0][0] = 0
+    scal = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=1)
+    out = dfb.msm_fixed_positions(tables, pts, positions, scal)
+    got = _to_points(out.x, out.y, out.z)
+    for p in [0, 1, 511]:
+        want = oc.IDENTITY
+        for pos, krow in zip(positions, ks):
+            want = want.add(base_pts[pos].mul(krow[p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
+@pytest.mark.parametrize("wnaf", ["0", "1"])
+def test_msm_dispatch_glv_vs_oracle(rng, monkeypatch, wnaf):
     """curve.msm end-to-end through the GLV dispatch (_msm_small ->
-    glv.decompose -> msm_small_glv_flat) vs the oracle."""
+    glv.decompose -> unsigned or signed-digit kernel) vs the oracle."""
     monkeypatch.setenv("BPPP_PALLAS", "1")
+    monkeypatch.setenv("BPPP_WNAF", wnaf)
     from bppp_tpu.ops import curve as dc
 
     L, B = 2, TILE
@@ -290,14 +358,17 @@ def test_keccak_kernel_vs_oracle(rng):
         assert got == want, f"lane {lane}"
 
 
-def test_msm_dispatch_fulltile_chunked_vs_oracle(rng, monkeypatch):
-    """L=5 > FT_DMAX on a full-tile batch: the dispatch runs ceil(5/3)=2
-    shared-window kernel calls at the full lane tile and combines the
-    chunk partials with a complete add (the r3 fast path)."""
+@pytest.mark.parametrize("wnaf,L", [("0", 5), ("1", 5), ("1", 6)])
+def test_msm_dispatch_fulltile_chunked_vs_oracle(rng, monkeypatch, wnaf, L):
+    """Full-tile dispatch above/at the per-call point cap: unsigned at
+    L=5 runs ceil(5/3)=2 chunked calls + a complete-add combine (the r3
+    fast path); wNAF at L=5 is ONE call (FT_DMAX_WNAF=5) and at L=6
+    chunks 5+1."""
     monkeypatch.setenv("BPPP_PALLAS", "1")
+    monkeypatch.setenv("BPPP_WNAF", wnaf)
     from bppp_tpu.ops import curve as dc
 
-    L, B = 5, TILE
+    B = TILE
     rows = [_rand_points(rng, B) for _ in range(L)]
     rows[3][0] = oc.IDENTITY
     ks = [_rand_wide(rng, of.N, B) for _ in range(L)]

