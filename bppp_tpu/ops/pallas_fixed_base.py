@@ -21,12 +21,18 @@ table builds disappear, and w-bit windows cut the add count to 256/w:
     pallas_field.pt_add_mixed_inc) into a VMEM scratch accumulator —
     no doubles, no dbl-branch in the add body.
 
-Window width is env-tunable for hardware A/B: BPPP_FBW in {2, 4, 8}
-(default 8). Smaller windows trade more mixed adds (256/W per generator)
-for narrower one-hot selections (2^W): the selection matmul + one-hot
-build cost scales with 2^W while the add chain scales with 256/W, and
-which side dominates is a hardware question (bench.py folds the knob
-into its AOT program names).
+Window width is env-tunable for hardware A/B: BPPP_FBW in
+{2, 4, 8, 10, 11} (default 11). Wider windows trade fewer mixed adds
+(ceil(256/W) per generator) for wider one-hot selections (2^W): the
+selection matmul cost scales with 2^W while the add chain scales with
+ceil(256/W). Measured on v5e (r3 fb_ab) selection at NE=256 is ~free
+next to the 6.5 ns/lane add, and the MXU keeps it ~10% of an add even
+at NE=2048 — so wide windows win: W=11 cuts the add count 25% vs W=8.
+Non-16-divisible widths extract digits across limb boundaries on the
+graph side (_digits). At W=11 the tables and the one-hot are bf16 to
+fit the 16 MB scoped-VMEM budget (table block 6.3 MB + one-hot 4 MB);
+bf16 is exact here because the byte-split rows and the one-hot are
+integers < 2^8 (bench.py folds the knob into its AOT program names).
 
 Replaces the reference's naive per-term MSM (util.rs:46-60) on the
 verify hot path; the commitment-chain points (C_S, X_k, ...) are still
@@ -39,17 +45,21 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB
 
-W_BITS = int(os.environ.get("BPPP_FBW", "8"))
-assert W_BITS in (2, 4, 8), "BPPP_FBW must divide 16 and fit one-hot VMEM"
-N_WINDOWS = 256 // W_BITS
+W_BITS = int(os.environ.get("BPPP_FBW", "11"))
+assert W_BITS in (2, 4, 8, 10, 11), "BPPP_FBW: one-hot must fit VMEM"
+N_WINDOWS = -(-256 // W_BITS)  # ceil
 N_ENT = 1 << W_BITS
-_PER_LIMB = 16 // W_BITS
+# bf16 tables + one-hot at W=11 (see module docstring): exact for
+# integers < 2^8, and halves the VMEM/HBM footprint the f32 layout
+# would blow at N_ENT=2048.
+_SEL_DT = jnp.bfloat16 if W_BITS >= 11 else jnp.float32
 
 # Entry-selection strategy (hardware A/B, cf. the colsum=mx dead end —
 # MXU round trips inside VPU kernel loops cost relayouts + converts):
@@ -116,22 +126,29 @@ def build_tables(points):
     # -> one (w, f) block streams to VMEM per grid step; rows x entries
     # are the selection operand (see docstring for layout per _FBSEL)
     if _FBSEL == "vpu":
+        assert W_BITS <= 8, "FBSEL=vpu unrolls N_ENT adds; use mx for wide W"
         rows = jnp.concatenate([tx, ty], axis=0)  # (32, W, NE, F) u32
         return rows.transpose(1, 3, 0, 2)  # (W, F, 32, NE)
     rows = jnp.concatenate(
         [tx & 0xFF, ty & 0xFF, tx >> 8, ty >> 8], axis=0
-    ).astype(jnp.float32)  # (64, W, NE, F): byte halves, exact in bf16
+    ).astype(_SEL_DT)  # (64, W, NE, F): byte halves, exact in bf16/f32
     return rows.transpose(1, 3, 0, 2)  # (W, F, 64, NE)
 
 
 def _digits(scalars):
-    """(16, F, B) limbs -> (N_WINDOWS, F, B) window digits (LSB first)."""
+    """(16, F, B) limbs -> (N_WINDOWS, F, B) window digits (LSB first).
+    Window w covers bits [W_BITS*w, W_BITS*(w+1)), which crosses 16-bit
+    limb boundaries when W_BITS does not divide 16 — a zero guard row
+    covers the top window's out-of-range high limb."""
+    ext = jnp.concatenate([scalars, jnp.zeros_like(scalars[:1])], axis=0)
     rows = []
     for w in range(N_WINDOWS):
-        rows.append(
-            (scalars[w // _PER_LIMB] >> (W_BITS * (w % _PER_LIMB)))
-            & (N_ENT - 1)
-        )
+        lo = W_BITS * w
+        li, off = lo // 16, lo % 16
+        v = ext[li] >> np.uint32(off)
+        if off + W_BITS > 16:
+            v = v | (ext[li + 1] << np.uint32(16 - off))
+        rows.append(v & np.uint32(N_ENT - 1))
     return jnp.stack(rows, axis=0)
 
 
@@ -174,7 +191,7 @@ def _fixed_msm_kernel(tab_ref, dig_ref, ox, oy, oz, ax, ay, az):
         else:
             oh = (
                 jax.lax.broadcasted_iota(jnp.uint32, (N_ENT, TILE), 0) == d
-            ).astype(jnp.float32)
+            ).astype(_SEL_DT)
             # rows are BYTE halves [x_lo|y_lo|x_hi|y_hi] so the MXU pass
             # is exact at default precision (bf16 mantissas hold ints
             # < 2^8; full 16-bit limbs round — see build_tables).

@@ -121,12 +121,17 @@ class WNLADevice:
 
     # -- prove (wnla.rs:125-190) ----------------------------------------
 
-    def prove(self, commitment: PointJ, t: Transcript, l, n) -> WNLAProofDev:
+    def prove(
+        self, commitment: PointJ, t: Transcript, l, n, inv=None
+    ) -> WNLAProofDev:
+        """inv: optional precomputed (rho^-1, mu^-1) — callers that
+        already ran a batched inversion (circuit.prove's tau^-1 ladder)
+        pass them in to skip this entry's fn_inv_vec ladder."""
         lh, lg = l.shape[1], n.shape[1]
         assert lh == pv.pv_len(self.h_vec) and lg == pv.pv_len(self.g_vec)
         K = num_rounds(lh, lg)
         if K > 0 and lh % (1 << K) == 0 and lg % (1 << K) == 0:
-            return self._prove_fast(commitment, t, l, n, K)
+            return self._prove_fast(commitment, t, l, n, K, inv=inv)
         if K > 0:
             # transcript-identical, so this is silent-correct — but ~10x
             # slower (per-round folded-generator ladders instead of one
@@ -141,8 +146,10 @@ class WNLADevice:
             )
 
         # One batched inversion pair; per-level inverses chain by squaring.
-        inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
-        rho_inv, mu_inv = inv2[:, 0], inv2[:, 1]
+        if inv is None:
+            inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
+            inv = inv2[:, 0], inv2[:, 1]
+        rho_inv, mu_inv = inv
 
         cur = self
         xs, rs = [], []
@@ -165,7 +172,7 @@ class WNLADevice:
         )
         return WNLAProofDev(r=stack(rs), x=stack(xs), l=l, n=n)
 
-    def _prove_fast(self, commitment, t, l, n, K: int) -> WNLAProofDev:
+    def _prove_fast(self, commitment, t, l, n, K: int, inv=None) -> WNLAProofDev:
         """Prover twin of `verify_fast` (transcript-identical to the
         mirror `prove`): every per-round X/R commitment is expressed over
         the ORIGINAL generators via kron-expanded coefficient vectors —
@@ -191,8 +198,10 @@ class WNLADevice:
         two = sv.s_const(2, batch)
         all_pts = pv.pv_concat([pv.single(self.g), self.h_vec, self.g_vec])
 
-        inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
-        rho_inv, mu_inv = inv2[:, 0], inv2[:, 1]
+        if inv is None:
+            inv2 = sv.fn_inv_vec(jnp.stack([self.rho, self.mu], axis=1))
+            inv = inv2[:, 0], inv2[:, 1]
+        rho_inv, mu_inv = inv
         rho_k, mu_k = self.rho, self.mu
         cvec = self.c
         w_h = one[:, None]

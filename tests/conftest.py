@@ -25,6 +25,10 @@ if "host_platform_device_count" not in flags:
 # CPU test's lane count for no semantic coverage — kernel math is
 # _SUB-independent. Pin 4 unless the caller overrides.
 os.environ.setdefault("BPPP_SUB", "4")
+# W=8 keeps interpret-mode table builds small (NE-2 sequential adds per
+# window); the W=11 production default is covered by an explicit
+# parametrized case and by tools/tpu_kernel_check.py on hardware.
+os.environ.setdefault("BPPP_FBW", "8")
 
 import jax  # noqa: E402
 

@@ -312,6 +312,40 @@ def test_fixed_base_msm_vs_oracle(rng):
         assert got[p].eq(want), f"lane {p}"
 
 
+def test_fixed_base_msm_wide_window_vs_oracle(rng, monkeypatch):
+    """W=11 production path: cross-limb window digits + NE=2048 bf16
+    byte-split tables/one-hot (exact: all values < 2^8). The module
+    constants are patched because conftest pins BPPP_FBW=8 to keep the
+    other interpret tests' table builds small; shapes differ so the
+    jitted kernel re-traces under the patched globals."""
+    import jax
+
+    from bppp_tpu.ops import curve as dc
+    from bppp_tpu.ops import pallas_fixed_base as fb
+
+    monkeypatch.setattr(fb, "W_BITS", 11)
+    monkeypatch.setattr(fb, "N_WINDOWS", -(-256 // 11))
+    monkeypatch.setattr(fb, "N_ENT", 1 << 11)
+    monkeypatch.setattr(fb, "_SEL_DT", jnp.bfloat16)
+
+    F, B = 2, TILE
+    base_pts = _rand_points(rng, F)
+    pts = dc.from_int_points(base_pts)
+    tables = jax.jit(lambda p: fb.build_tables(p))(pts)
+    assert tables.dtype == jnp.bfloat16 and tables.shape == (24, F, 64, 2048)
+    ks = [_rand_wide(rng, of.N, B) for _ in range(F)]
+    ks[0][0] = 0  # zero scalar -> identity contribution
+    scal = jnp.stack([jnp.asarray(f.ints_to_limbs(k)) for k in ks], axis=1)
+    out = fb.msm_fixed_sum(tables, scal)
+    assert out is not None
+    got = _to_points(out.x, out.y, out.z)
+    for p in [0, 1, B - 1]:
+        want = oc.IDENTITY
+        for i in range(F):
+            want = want.add(base_pts[i].mul(ks[i][p]))
+        assert got[p].eq(want), f"lane {p}"
+
+
 def test_fixed_base_msm_vpu_select_matches_mx(rng):
     """BPPP_FBSEL=vpu (masked-add entry selection, u32 tables) computes
     the same MSM as the default mx (byte-split one-hot MXU) path. Tables

@@ -89,11 +89,15 @@ def main():
     else:
         tab = jnp.asarray(
             rng.integers(0, 1 << 8, (pfb.N_WINDOWS, F, 64, pfb.N_ENT)),
-            jnp.float32,
+            pfb._SEL_DT,  # f32 (W<=10) or bf16 (W=11): byte values exact
         )
     scalars = jnp.asarray(rng.integers(0, 1 << 16, (16, F, B)), jnp.uint32)
-    fn = jax.jit(lambda s: pfb.msm_fixed_sum(tab, s))
-    total_ms, max_ms = device_ms(fn, scalars)
+    # table as a device ARGUMENT, like the production fixture: a closure
+    # constant ships inside the program upload and blows the tunnel's
+    # remote_compile body limit at W=11 (308 MB -> HTTP 413)
+    tab = jax.device_put(tab)
+    fn = jax.jit(lambda t_, s: pfb.msm_fixed_sum(t_, s))
+    total_ms, max_ms = device_ms(fn, tab, scalars)
     adds = F * pfb.N_WINDOWS
     print(
         f"FBW={pfb.W_BITS} FBSEL={pfb._FBSEL} F={F} B={B}: "

@@ -311,12 +311,16 @@ def check_fixed():
 
 
 def check_fixed_vpu():
-    prev = pfb._FBSEL
+    """vpu selection pairs with narrow windows (FBW=4: the masked
+    accumulate unrolls N_ENT adds, and FBW=8 vpu alone compiles ~10 min);
+    the production W=11 default asserts vpu off, so pin W=4 here."""
+    prev = (pfb._FBSEL, pfb.W_BITS, pfb.N_WINDOWS, pfb.N_ENT, pfb._SEL_DT)
     pfb._FBSEL = "vpu"
+    pfb.W_BITS, pfb.N_WINDOWS, pfb.N_ENT = 4, 64, 16
     try:
-        return _check_fixed("FIXED(vpu)")
+        return _check_fixed("FIXED(vpu,w4)")
     finally:
-        pfb._FBSEL = prev
+        pfb._FBSEL, pfb.W_BITS, pfb.N_WINDOWS, pfb.N_ENT, pfb._SEL_DT = prev
 
 
 STEPS = [
