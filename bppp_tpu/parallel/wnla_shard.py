@@ -102,8 +102,6 @@ def prove_sharded(
         lg //= 2
         k_sharded += 1
 
-    from jax.experimental.shard_map import shard_map
-
     vec = lambda: P(None, axis, *bspec)
     rep = lambda: P(None, *bspec)
 
@@ -258,7 +256,7 @@ def prove_sharded(
             tail.l, tail.n,
         )
 
-    leaves = shard_map(
+    leaves = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -271,7 +269,7 @@ def prove_sharded(
             rep(), rep(),         # rho, mu
         ),
         out_specs=(P(),) * 8,
-        check_rep=False,
+        check_vma=False,
     )(
         g_vec.x, g_vec.y, g_vec.z,
         h_vec.x, h_vec.y, h_vec.z,

@@ -499,6 +499,11 @@ class ArithmeticCircuitDevice:
         }
 
         def _batch_inner(pairs, pw=None):
+            # Truncating to Lp is only exact when at most one operand of a
+            # pair extends past Lp (the tail then multiplies zero-padding);
+            # two long operands would silently drop nonzero products.
+            for k_, (a, b) in pairs.items():
+                assert min(a.shape[1], b.shape[1]) <= Lp, (k_, a.shape, b.shape, Lp)
             As = jnp.stack([pad(a) for a, _ in pairs.values()], axis=1)
             Bs = jnp.stack([pad(b) for _, b in pairs.values()], axis=1)
             prod = f.fn_mul(As, Bs)
@@ -606,8 +611,9 @@ class ArithmeticCircuitDevice:
         # one Montgomery-trick ladder covers tau^-1 AND the WNLA entry
         # inverses (rho^-1, mu^-1) — all known here, so the separate
         # fn_inv + WNLA-internal fn_inv_vec pair would pay two ladders
-        inv3b = sv.fn_inv_vec(jnp.stack([tau, rho, mu], axis=1))
-        tau_inv, rho_inv_w, mu_inv_w = inv3b[:, 0], inv3b[:, 1], inv3b[:, 2]
+        inv3b = sv.fn_inv_vec(jnp.stack([tau, rho], axis=1))
+        tau_inv, rho_inv_w = inv3b[:, 0], inv3b[:, 1]
+        mu_inv_w = mu_inv  # already inverted in the inv3 ladder above
         tau2 = f.fn_mul(tau, tau)
         tau3 = f.fn_mul(tau2, tau)
 

@@ -149,7 +149,12 @@ class CachedProgram:
         self._loaded = {}
 
     def _path(self, sig: str, platform: str) -> Path:
-        return self.dir / f"{self.name}-{platform}-{sig}.jaxexport"
+        # The source-tree hash is IN the filename (it also participates in
+        # sig) so "is the cache warm at this source?" is answerable from a
+        # directory listing: tests/conftest.py's BPPP_REQUIRE_WARM check
+        # and tools/warm_dryrun.py rely on this to fail loudly instead of
+        # silently cold-tracing for an hour (VERDICT r4 weak #8).
+        return self.dir / f"{self.name}-{platform}-{_src_hash(platform)}-{sig}.jaxexport"
 
     def _get(self, args):
         """Load or build the export for the target platform. BPPP_AOT_TARGET

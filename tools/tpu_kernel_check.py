@@ -340,11 +340,43 @@ STEPS = [
 ]
 
 
+def _log_run(steps, failed):
+    """Append a one-line JSON record to tools/hw_results.jsonl so "did the
+    hardware gate run at tree X" is answerable afterwards (VERDICT r4
+    weak #6: the W=11 default shipped without a recorded gate run)."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        git = subprocess.run(
+            ["git", "-C", root, "describe", "--always", "--dirty"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        git = "?"
+    from bppp_tpu.utils.aot import _src_hash
+
+    rec = dict(
+        step="kernel_check",
+        rc=failed,
+        steps={n: rc for n, rc in steps},
+        git=git,
+        src=_src_hash("tpu"),
+        backend=jax.default_backend(),
+        cfg=f"_SUB={pc._SUB} TILE={TILE} FBW={pfb.W_BITS} FBSEL={pfb._FBSEL}",
+        ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+    )
+    with open(os.path.join(root, "tools", "hw_results.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
 def main():
     names = set(sys.argv[1:])
     print(f"backend={jax.default_backend()} _SUB={pc._SUB} TILE={TILE} "
           f"MS_TILE={MS_TILE} FBW={pfb.W_BITS} FBSEL={pfb._FBSEL}", flush=True)
     failed = 0
+    results = []
     for name, fn in STEPS:
         if names and name not in names:
             continue
@@ -357,7 +389,9 @@ def main():
         dt = time.perf_counter() - t0
         status = "ok" if bad == 0 else f"FAIL ({bad})"
         print(f"[{name}] {status} ({dt:.0f}s)", flush=True)
+        results.append((name, int(bad)))
         failed += bad != 0
+    _log_run(results, failed)
     print(f"kernel check done, failed steps = {failed}", flush=True)
     return failed
 
