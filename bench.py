@@ -32,13 +32,13 @@ def _env_tag() -> str:
     so A/B runs never reuse a stale cached program."""
     sub = os.environ.get("BPPP_SUB", "8")
     glv = os.environ.get("BPPP_GLV", "1")
-    fbw = os.environ.get("BPPP_FBW", "11")
+    fbw = os.environ.get("BPPP_FBW", "10")
     cs = os.environ.get("BPPP_COLSUM", "seq")
     fbsel = os.environ.get("BPPP_FBSEL", "mx")
     wnaf = os.environ.get("BPPP_WNAF", "1")
     tag = f"_s{sub}" + ("" if glv != "0" else "_noglv")
     tag += "" if wnaf != "0" else "_nownaf"
-    tag += "" if fbw == "11" else f"_w{fbw}"
+    tag += "" if fbw == "10" else f"_w{fbw}"
     tag += "" if fbsel == "mx" else f"_f{fbsel}"
     return tag + ("" if cs == "seq" else f"_c{cs}")
 

@@ -22,17 +22,19 @@ table builds disappear, and w-bit windows cut the add count to 256/w:
     no doubles, no dbl-branch in the add body.
 
 Window width is env-tunable for hardware A/B: BPPP_FBW in
-{2, 4, 8, 10, 11} (default 11). Wider windows trade fewer mixed adds
-(ceil(256/W) per generator) for wider one-hot selections (2^W): the
-selection matmul cost scales with 2^W while the add chain scales with
-ceil(256/W). Measured on v5e (r3 fb_ab) selection at NE=256 is ~free
-next to the 6.5 ns/lane add, and the MXU keeps it ~10% of an add even
-at NE=2048 — so wide windows win: W=11 cuts the add count 25% vs W=8.
-Non-16-divisible widths extract digits across limb boundaries on the
-graph side (_digits). At W=11 the tables and the one-hot are bf16 to
-fit the 16 MB scoped-VMEM budget (table block 6.3 MB + one-hot 4 MB);
-bf16 is exact here because the byte-split rows and the one-hot are
-integers < 2^8 (bench.py folds the knob into its AOT program names).
+{2, 4, 8, 10, 11} (default 10 — picked by device-time A/B, r5
+2026-08-20, tools/fb_ab.py at F=49 and F=25, B=1024:
+W=8 10.68/5.46 ms, W=10 **9.42/4.85 ms**, W=11 9.53/4.87 ms).
+Wider windows trade fewer mixed adds (ceil(256/W) per generator) for
+wider one-hot selections (2^W): per-add cost rises 6.65 -> 7.29 ->
+7.93 ns/lane across W=8/10/11 (selection is NOT free at NE >= 1024),
+so the add-count saving flattens out and W=11's bf16 tables buy
+nothing over W=10. Non-16-divisible widths extract digits across limb
+boundaries on the graph side (_digits). At W=11 the tables and the
+one-hot are bf16 to fit the 16 MB scoped-VMEM budget (table block
+6.3 MB + one-hot 4 MB); bf16 is exact here because the byte-split rows
+and the one-hot are integers < 2^8 (bench.py folds the knob into its
+AOT program names).
 
 Replaces the reference's naive per-term MSM (util.rs:46-60) on the
 verify hot path; the commitment-chain points (C_S, X_k, ...) are still
@@ -52,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_field as pf
 from .pallas_curve import INTERPRET, TILE, _SUB
 
-W_BITS = int(os.environ.get("BPPP_FBW", "11"))
+W_BITS = int(os.environ.get("BPPP_FBW", "10"))
 assert W_BITS in (2, 4, 8, 10, 11), "BPPP_FBW: one-hot must fit VMEM"
 N_WINDOWS = -(-256 // W_BITS)  # ceil
 N_ENT = 1 << W_BITS

@@ -458,6 +458,16 @@ class ArithmeticCircuitDevice:
         c_l0 = self._collect_cl0(lam, mu)
         delta2 = f.fn_mul(delta, delta)
 
+        # NOTE (r5, measured): a "batch all 32 inner products into two
+        # stacked calls" rewrite shipped at the end of r4 WITHOUT a
+        # hardware measurement and cost +80 ms/1024 (236 ms vs 166 ms
+        # whole-call): the per-vector sv_pad/stack/extract ops each
+        # materialize a (16, L, B) limb intermediate at ~0.5-1.5 ms/op —
+        # exactly the CLAUDE.md glue rule. The 32 separate fn_mul+reduce
+        # fusions below are the MEASURED-fast formulation; don't re-batch
+        # without a device-time A/B.
+        W = lambda a, b, _mu: sv.sv_weight_inner(a, b, _mu, pw=mu_pows)
+        I = sv.sv_inner
         M = f.fn_mul
         A = f.fn_add
         S = f.fn_sub
@@ -466,115 +476,66 @@ class ArithmeticCircuitDevice:
         nl_cnr = sv.sv_add(nl_, c_nR)
         nr_cnl = sv.sv_add(nr_, c_nL)
 
-        # All 32 f(tau) inner products in TWO stacked batched calls (one
-        # mu-weighted, one plain) instead of 32 separate fn_mul+reduce
-        # fusions: the per-op XLA dispatch/fusion glue was ~25 ms of the
-        # 166 ms/1024 prover batch (r4 profile). Zero-padding to a common
-        # length is exact (padded lanes contribute 0 to the sums), so the
-        # coefficient algebra below is untouched (circuit.rs:399-453).
-        Lp = max(self.dim_nv, self.dim_nm)
-        # c_l0/c_lX can be LONGER than Lp (length nl = nv*k); their tail
-        # only ever pairs with the zero-padding of <=nv-length vectors,
-        # so truncating to Lp drops exact zeros.
-        pad = lambda v: v[:, :Lp] if v.shape[1] >= Lp else sv.sv_pad(v, Lp)
-        w_pairs = {
-            "ns_ns": (ns, ns), "ns_no": (ns, no),
-            "ns_nlcnr": (ns, nl_cnr), "no_no": (no, no),
-            "ns_nrcnl": (ns, nr_cnl), "no_nlcnr": (no, nl_cnr),
-            "cnR_cnR": (c_nR, c_nR), "ns_cnO": (ns, c_nO),
-            "no_nrcnl": (no, nr_cnl), "nlcnr_nlcnr": (nl_cnr, nl_cnr),
-            "cnO_cnR": (c_nO, c_nR), "cnL_cnL": (c_nL, c_nL),
-            "nlcnr_cnO": (nl_cnr, c_nO), "nrcnl_nrcnl": (nr_cnl, nr_cnl),
-            "cnO_cnL": (c_nO, c_nL), "nrcnl_cnO": (nr_cnl, c_nO),
-        }
-        p_pairs = {
-            "cl0_ls": (c_l0, ls), "clR_ls": (c_lR, ls),
-            "cl0_lo": (c_l0, lo), "clL_ls": (c_lL, ls),
-            "clR_lo": (c_lR, lo), "cl0_ll": (c_l0, ll),
-            "clO_ls": (c_lO, ls), "clL_lo": (c_lL, lo),
-            "clR_ll": (c_lR, ll), "cl0_lr": (c_l0, lr),
-            "clO_ll": (c_lO, ll), "clL_lr": (c_lL, lr),
-            "clR_v1": (c_lR, v_1), "cnO_lr": (c_nO, lr),
-            "clL_v1": (c_lL, v_1), "clO_v1": (c_lO, v_1),
-        }
-
-        def _batch_inner(pairs, pw=None):
-            # Truncating to Lp is only exact when at most one operand of a
-            # pair extends past Lp (the tail then multiplies zero-padding);
-            # two long operands would silently drop nonzero products.
-            for k_, (a, b) in pairs.items():
-                assert min(a.shape[1], b.shape[1]) <= Lp, (k_, a.shape, b.shape, Lp)
-            As = jnp.stack([pad(a) for a, _ in pairs.values()], axis=1)
-            Bs = jnp.stack([pad(b) for _, b in pairs.values()], axis=1)
-            prod = f.fn_mul(As, Bs)
-            if pw is not None:
-                prod = f.fn_mul(prod, pw[:, None, :Lp])
-            s = f._fold_n(f._carry(jnp.sum(prod.astype(jnp.uint32), axis=2), 18))
-            return {k: s[:, i] for i, k in enumerate(pairs)}
-
-        Wip = _batch_inner(w_pairs, pw=mu_pows)  # sum_i a_i b_i mu^(i+1)
-        Iip = _batch_inner(p_pairs)  # <a, b>
-
         # f(tau) coefficients at powers [-2,-1,0,1,2,4,5,6] (circuit.rs:399-453)
-        f0 = NEG(Wip["ns_ns"])
-        f1 = A(Iip["cl0_ls"], M(M(delta, two), Wip["ns_no"]))
+        f0 = NEG(W(ns, ns, mu))
+        f1 = A(I(c_l0, ls), M(M(delta, two), W(ns, no, mu)))
         f2 = S(
             S(
-                S(NEG(M(Iip["clR_ls"], two)), M(Iip["cl0_lo"], delta)),
-                M(Wip["ns_nlcnr"], two),
+                S(NEG(M(I(c_lR, ls), two)), M(I(c_l0, lo), delta)),
+                M(W(ns, nl_cnr, mu), two),
             ),
-            M(Wip["no_no"], delta2),
+            M(W(no, no, mu), delta2),
         )
         f3 = A(
             A(
-                A(M(Iip["clL_ls"], two), M(M(Iip["clR_lo"], delta), two)),
-                A(Iip["cl0_ll"], M(Wip["ns_nrcnl"], two)),
+                A(M(I(c_lL, ls), two), M(M(I(c_lR, lo), delta), two)),
+                A(I(c_l0, ll), M(W(ns, nr_cnl, mu), two)),
             ),
-            M(M(Wip["no_nlcnr"], two), delta),
+            M(M(W(no, nl_cnr, mu), two), delta),
         )
         f4 = S(
             S(
                 S(
-                    S(Wip["cnR_cnR"], M(M(Iip["clO_ls"], delta_inv), two)),
+                    S(W(c_nR, c_nR, mu), M(M(I(c_lO, ls), delta_inv), two)),
                     S(
-                        A(M(M(Iip["clL_lo"], delta), two), M(Iip["clR_ll"], two)),
-                        NEG(Iip["cl0_lr"]),
+                        A(M(M(I(c_lL, lo), delta), two), M(I(c_lR, ll), two)),
+                        NEG(I(c_l0, lr)),
                     ),
                 ),
                 A(
-                    M(M(Wip["ns_cnO"], delta_inv), two),
-                    M(M(Wip["no_nrcnl"], delta), two),
+                    M(M(W(ns, c_nO, mu), delta_inv), two),
+                    M(M(W(no, nr_cnl, mu), delta), two),
                 ),
             ),
-            Wip["nlcnr_nlcnr"],
+            W(nl_cnr, nl_cnr, mu),
         )
         f5 = S(
             S(
                 S(
                     A(
-                        M(M(Wip["cnO_cnR"], delta_inv), two),
-                        Wip["cnL_cnL"],
+                        M(M(W(c_nO, c_nR, mu), delta_inv), two),
+                        W(c_nL, c_nL, mu),
                     ),
                     A(
-                        M(M(Iip["clO_ll"], delta_inv), two),
-                        A(M(Iip["clL_lr"], two), M(Iip["clR_v1"], two)),
+                        M(M(I(c_lO, ll), delta_inv), two),
+                        A(M(I(c_lL, lr), two), M(I(c_lR, v_1), two)),
                     ),
                 ),
-                M(M(Wip["nlcnr_cnO"], delta_inv), two),
+                M(M(W(nl_cnr, c_nO, mu), delta_inv), two),
             ),
-            Wip["nrcnl_nrcnl"],
+            W(nr_cnl, nr_cnl, mu),
         )
         f6 = A(
             A(
-                NEG(M(M(Wip["cnO_cnL"], delta_inv), two)),
+                NEG(M(M(W(c_nO, c_nL, mu), delta_inv), two)),
                 A(
-                    M(M(Iip["cnO_lr"], delta_inv), two),
-                    M(Iip["clL_v1"], two),
+                    M(M(I(c_nO, lr), delta_inv), two),
+                    M(I(c_lL, v_1), two),
                 ),
             ),
-            M(M(Wip["nrcnl_cnO"], delta_inv), two),
+            M(M(W(nr_cnl, c_nO, mu), delta_inv), two),
         )
-        f7 = NEG(M(M(Iip["clO_v1"], delta_inv), two))
+        f7 = NEG(M(M(I(c_lO, v_1), delta_inv), two))
 
         # r_s blinding combination (circuit.rs:457-467)
         ro_l = [ro[:, j] for j in range(9)]
@@ -624,35 +585,25 @@ class ArithmeticCircuitDevice:
         rv_v1 = sv.sv_concat([rv, v_1])
 
         # l(tau) = tau^-1(rs||ls) - delta(ro||lo) + tau(rl||ll)
-        #        - tau^2(rr||lr) + tau^3(rv||v1) (circuit.rs:479-483),
-        # with the signs folded into the coefficients so the five scales
-        # and the sum are ONE stacked mul + one lazy reduction instead of
-        # five fn_mul fusions and four add/sub passes.
-        neg_delta = f.fn_neg(delta)
-        neg_tau2 = f.fn_neg(tau2)
-
-        def _fold_terms(vecs, coefs):
-            Lm = max(v.shape[1] for v in vecs)
-            st = jnp.stack([sv.sv_pad(v, Lm) for v in vecs], axis=1)
-            cf = jnp.stack(coefs, axis=1)  # (16, T, *b)
-            prod = f.fn_mul(st, cf[:, :, None])
-            return f._fold_n(
-                f._carry(jnp.sum(prod.astype(jnp.uint32), axis=1), 18)
-            )
-
-        l_vec = _fold_terms(
-            [rs_ls, ro_lo, rl_ll, rr_lr, rv_v1],
-            [tau_inv, neg_delta, tau, neg_tau2, tau3],
-        )
+        #        - tau^2(rr||lr) + tau^3(rv||v1) (circuit.rs:479-483).
+        # Sequential scale+add fusions — the measured-fast formulation
+        # (see the f(tau) note above: the r4 stacked-pad rewrite cost
+        # ~1 ms per materialized pad/stack op and lost badly on device).
+        l_vec = sv.sv_scale(rs_ls, tau_inv)
+        l_vec = sv.sv_sub(l_vec, sv.sv_scale(ro_lo, delta))
+        l_vec = sv.sv_add(l_vec, sv.sv_scale(rl_ll, tau))
+        l_vec = sv.sv_sub(l_vec, sv.sv_scale(rr_lr, tau2))
+        l_vec = sv.sv_add(l_vec, sv.sv_scale(rv_v1, tau3))
 
         pn_tau, ps_tau = self._pn_ps(
             c_nL, c_nR, c_nO, lambda_vec, mu_vec, mu, tau, tau2, tau3, delta_inv,
             two, mu_pows=mu_pows,
         )
 
-        n_tau = _fold_terms(
-            [ns, no, nl_, nr_], [tau_inv, neg_delta, tau, neg_tau2]
-        )
+        n_tau = sv.sv_scale(ns, tau_inv)
+        n_tau = sv.sv_sub(n_tau, sv.sv_scale(no, delta))
+        n_tau = sv.sv_add(n_tau, sv.sv_scale(nl_, tau))
+        n_tau = sv.sv_sub(n_tau, sv.sv_scale(nr_, tau2))
         n_vec = sv.sv_add(pn_tau, n_tau)
 
         c_vec = self._c_vec(
@@ -686,6 +637,7 @@ class ArithmeticCircuitDevice:
         wnla_proof = wnla.prove(
             commitment, t, sv.sv_pad(l_vec, full_h), sv.sv_pad(n_vec, full_g),
             inv=(rho_inv_w, mu_inv_w),
+            zero_tail=(full_h - l_vec.shape[1], full_g - n_vec.shape[1]),
         )
         return CircuitProofDev(c_l=c_l, c_r=c_r, c_o=c_o, c_s=c_s, wnla=wnla_proof)
 

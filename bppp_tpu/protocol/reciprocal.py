@@ -204,7 +204,13 @@ class ReciprocalRangeProofDevice:
         circuit = self.make_circuit(e, pole_inv=pole_inv)
         v_vec = sv.sv_concat([witness.x[:, None], r])
         s_v = f.fn_add(witness.s, r_blind)
-        cc = circuit.commit(v_vec, s_v)
+        # circuit.commit([x||r], s + r_blind) == commit_value(x, s) +
+        # commit_poles(r, r_blind) — the exact identity that makes the
+        # verifier's V + R fold sound (reciprocal.rs:104, SURVEY §3.4).
+        # One point add instead of an 18-position table walk; compress
+        # normalizes the Jacobian representative, so the absorbed bytes
+        # are identical to the recomputed commitment's.
+        cc = dc.pt_add(commitment, r_com)
         cc_bytes = dc.compress(cc)
 
         cw = CircuitWitnessDev(

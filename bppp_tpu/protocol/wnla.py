@@ -122,16 +122,23 @@ class WNLADevice:
     # -- prove (wnla.rs:125-190) ----------------------------------------
 
     def prove(
-        self, commitment: PointJ, t: Transcript, l, n, inv=None
+        self, commitment: PointJ, t: Transcript, l, n, inv=None,
+        zero_tail=(0, 0),
     ) -> WNLAProofDev:
         """inv: optional precomputed (rho^-1, mu^-1) — callers that
         already ran a batched inversion (circuit.prove's tau^-1 ladder)
-        pass them in to skip this entry's fn_inv_vec ladder."""
+        pass them in to skip this entry's fn_inv_vec ladder.
+        zero_tail: static (zh, zg) — the caller guarantees the LAST zh
+        entries of l and zg entries of n are zero (the circuit layer pads
+        l(tau) from nh_live to |h_vec|); the fast prover then skips the
+        table rows whose X/R kron coefficients are provably zero."""
         lh, lg = l.shape[1], n.shape[1]
         assert lh == pv.pv_len(self.h_vec) and lg == pv.pv_len(self.g_vec)
         K = num_rounds(lh, lg)
         if K > 0 and lh % (1 << K) == 0 and lg % (1 << K) == 0:
-            return self._prove_fast(commitment, t, l, n, K, inv=inv)
+            return self._prove_fast(
+                commitment, t, l, n, K, inv=inv, zero_tail=zero_tail
+            )
         if K > 0:
             # transcript-identical, so this is silent-correct — but ~10x
             # slower (per-round folded-generator ladders instead of one
@@ -172,7 +179,9 @@ class WNLADevice:
         )
         return WNLAProofDev(r=stack(rs), x=stack(xs), l=l, n=n)
 
-    def _prove_fast(self, commitment, t, l, n, K: int, inv=None) -> WNLAProofDev:
+    def _prove_fast(
+        self, commitment, t, l, n, K: int, inv=None, zero_tail=(0, 0)
+    ) -> WNLAProofDev:
         """Prover twin of `verify_fast` (transcript-identical to the
         mirror `prove`): every per-round X/R commitment is expressed over
         the ORIGINAL generators via kron-expanded coefficient vectors —
@@ -206,6 +215,16 @@ class WNLADevice:
         cvec = self.c
         w_h = one[:, None]
         w_g = one[:, None]
+        # static trailing-zero counts of l / n (zero_tail contract): the
+        # fold l' = l0 + y l1 keeps a pair of zeros zero, so z' = z // 2.
+        # X's original-row coefficient for row block m is
+        # (l1[t] if m=2t else l0[t]) * w — zero blocks are the TRAILING
+        # 2*(z//2) interleave entries; R touches only l1[t] = l_k[2t+1],
+        # zero for t >= (|l|-z)//2. Both trims are static position-range
+        # cuts, so the kernel walks fewer table rows (u64: l(tau) is
+        # padded 26 -> 32, saving 6+4 X rows and 3+4+4 R rows over the
+        # four rounds).
+        zh, zg = zero_tail
 
         xs, rs = [], []
         for k in range(K):
@@ -225,41 +244,60 @@ class WNLADevice:
                 sv.sv_weight_inner(n1, n1, mu2, pw=pw2), sv.sv_inner(c1, l1)
             )
 
-            xh = sv.sv_tensor(w_h, sv.sv_interleave(l1, l0))
+            K_ = 1 << k
+            # live pair counts after dropping provably-zero trailing
+            # coefficient blocks (no-ops when zero_tail is (0, 0))
+            xh_p = l0.shape[1] - zh // 2
+            xg_p = n0.shape[1] - zg // 2
+            xh = sv.sv_tensor(
+                w_h, sv.sv_interleave(l1[:, :xh_p], l0[:, :xh_p])
+            )
             xg = sv.sv_tensor(
                 w_g,
                 sv.sv_interleave(
-                    sv.sv_scale(n1, rho_k), sv.sv_scale(n0, rho_inv)
+                    sv.sv_scale(n1[:, :xg_p], rho_k),
+                    sv.sv_scale(n0[:, :xg_p], rho_inv),
                 ),
             )
-            # X is dense over every table position; R's kron coefficients
-            # are zero at every even inner-interleave position
-            # (wnla.rs:157-160: R only touches the odd halves), so its
-            # walk covers 1 + lh/2 + lg/2 positions instead of 1+lh+lg —
-            # the r3 stacked X|R call paid the full walk twice.
-            x_pt = fb.msm_fixed_total(
-                self.tables, all_pts, sv.sv_concat([vx[:, None], xh, xg])
+            # X covers the contiguous live-row prefixes of h and g; R's
+            # kron coefficients are additionally zero at every even
+            # inner-interleave position (wnla.rs:157-160: R only touches
+            # the odd halves), so its walk covers ~half the rows — the
+            # r3 stacked X|R call paid the full walk twice.
+            x_pos = (
+                (0,)
+                + tuple(range(1, 1 + 2 * xh_p * K_))
+                + tuple(range(1 + lh, 1 + lh + 2 * xg_p * K_))
             )
+            x_scal = sv.sv_concat([vx[:, None], xh, xg])
+            if len(x_pos) == 1 + lh + lg:
+                x_pt = fb.msm_fixed_total(self.tables, all_pts, x_scal)
+            else:
+                x_pt = fb.msm_fixed_positions(
+                    self.tables, all_pts, x_pos, x_scal
+                )
             # sv_tensor(a, b)[:, j*La + i] = a_i * b_j (b is the OUTER
-            # axis), so the zero coefficients sit at even j: position
-            # p = (2t+1)*2^k + i is live, ordered (t outer, i inner) —
-            # exactly sv_tensor(w, odd_half)'s layout.
-            K_ = 1 << k
+            # axis), so R's live positions are p = (2t+1)*2^k + i,
+            # ordered (t outer, i inner) — sv_tensor(w, odd_half)'s
+            # layout — for the live t prefix only.
+            # l1[t] = l_k[2t+1] is zero for 2t+1 >= |l| - zh
+            rh_p = (l1.shape[1] * 2 - zh) // 2  # live l1 entries
+            rg_p = (n1.shape[1] * 2 - zg) // 2
             r_pos = (
                 (0,)
                 + tuple(
                     1 + (2 * t + 1) * K_ + i
-                    for t in range(l1.shape[1])
+                    for t in range(rh_p)
                     for i in range(K_)
                 )
                 + tuple(
                     1 + lh + (2 * t + 1) * K_ + i
-                    for t in range(n1.shape[1])
+                    for t in range(rg_p)
                     for i in range(K_)
                 )
             )
-            rh = sv.sv_tensor(w_h, l1)
-            rg = sv.sv_tensor(w_g, n1)
+            rh = sv.sv_tensor(w_h, l1[:, :rh_p])
+            rg = sv.sv_tensor(w_g, n1[:, :rg_p])
             r_pt = fb.msm_fixed_positions(
                 self.tables,
                 all_pts,
@@ -295,6 +333,8 @@ class WNLADevice:
             rho_k, mu_k = mu_k, mu2
             rho_inv = mu_inv
             mu_inv = f.fn_mul(mu_inv, mu_inv)
+            zh //= 2  # a zero PAIR folds to a zero entry
+            zg //= 2
 
         xs.reverse()
         rs.reverse()
