@@ -399,15 +399,21 @@ def msm(points: PointJ, scalars) -> PointJ:
     Small L (the verifier's per-round folds and commitment-chain MSMs)
     dispatches to a single shared-window kernel (pallas_msm.msm_small_
     flat: 256 + 78L point ops on B lanes instead of 334 ops on L*B
-    ladder lanes). L > 6 dispatches to the bucketed Pippenger
-    (ops/pippenger.py: sort + prefix-scan + histogram-boundary gather,
-    ~(2L + 256)*32 adds vs the ladder's 334*L). Tiny L off-TPU runs the
-    per-lane ladder + tree reduction. This replaces the reference's
-    naive per-term loop (util.rs:46-60)."""
+    ladder lanes). Large L ON TPU runs the fused per-lane ladder + tree
+    reduction: the bucketed Pippenger's sort + prefix-scan + gather
+    structure cannot fuse into one Mosaic kernel, so its ~256 per-window
+    scan/add dispatches cost 7-40x MORE device time than the ladder at
+    L=64/256 (tools/pippenger_ab.py, v5e, 2026-08-20) despite doing ~5x
+    fewer point ops — dispatch count beats op count here. Off-TPU large
+    L keeps Pippenger (op count wins when there is no fused ladder
+    kernel). This replaces the reference's naive per-term loop
+    (util.rs:46-60)."""
     if _pallas_enabled():
         out = _msm_small(points, scalars)
         if out is not None:
             return out
+        if points.x.shape[1] > 6:
+            return pt_sum(pt_scalar_mul(points, scalars), axis=1)
     if points.x.shape[1] > 6:
         from . import pippenger
 
