@@ -101,7 +101,11 @@ def main():
     if names and os.path.exists(path):
         try:
             prev = json.load(open(path))
-            if prev.get("git") == git and prev.get("src_cpu") == _src_hash("cpu"):
+            # compare the COMMIT (the artifacts themselves — hw_results,
+            # CERTIFY — dirty the tree between steps); the source hash is
+            # the real same-code guard
+            same_commit = prev.get("git", "").split("-dirty")[0] == git.split("-dirty")[0]
+            if same_commit and prev.get("src_cpu") == _src_hash("cpu"):
                 done = {r["name"] for r in results}
                 merged = [
                     r for r in prev.get("steps", []) if r["name"] not in done
